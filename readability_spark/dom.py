@@ -1,0 +1,648 @@
+"""Pure-Python HTML5-subset DOM: parser, serializer, selectors, tree ops.
+
+This module plays the role dom_query (html5ever-backed) plays in the
+reference engine (/root/reference/src/readability.rs:26).  It implements the
+HTML5 tree-construction subset the extraction pipeline and its fixtures
+exercise:
+
+- implied ``<html>/<head>/<body>`` insertion
+- head-element placement before body, whitespace handling per insertion mode
+- ``<tbody>`` synthesis inside tables (required by the serialization
+  expectations in /root/reference/src/stage/remove_unlikely_candidates.rs:151)
+- ``<p>``/``<li>``/``<dd>``/``<dt>`` auto-close
+- void elements (serialized without a self-closing slash, matching html5ever
+  -- see /root/reference/src/stage/unwrap_noscript_images.rs:100)
+- raw-text elements (``script``/``style`` content kept as a single text node,
+  relied on by /root/reference/src/stage/extract_json_ld.rs:38-40)
+- character-reference decoding at parse time (WHATWG table via the stdlib)
+- first-wins attribute dedup, insertion-order attribute serialization
+
+It is deliberately NOT a full HTML5 parser: adoption agency, templates and
+exotic foster-parenting cases are out of scope; fixture documents stay inside
+this subset (FIXTURES.md section 2).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+ELEMENT = 1
+TEXT = 3
+COMMENT = 8
+DOCUMENT = 9
+DOCTYPE = 10
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen "
+    "link meta param source track wbr".split()
+)
+
+# html5ever serializer emits the contents of these elements verbatim
+# (no text escaping).
+RAW_TEXT_ELEMENTS = frozenset(
+    "style script xmp iframe noembed noframes plaintext".split()
+)
+
+# Elements whose start tag, seen before <body>, belongs in <head>.
+HEAD_ELEMENTS = frozenset(
+    "base basefont bgsound link meta title style script noscript template".split()
+)
+
+# Start tags that implicitly close an open <p> (HTML5 "in body" rules).
+P_CLOSERS = frozenset(
+    "address article aside blockquote center details dialog dir div dl "
+    "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+    "hr main menu nav ol p pre section summary table ul".split()
+)
+
+_BUTTON_SCOPE_STOP = frozenset(
+    "html body table td th caption template applet marquee object".split()
+)
+_LIST_ITEM_SCOPE_STOP = frozenset(
+    "html body table td th caption template ul ol applet marquee object".split()
+)
+
+_TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
+
+
+class Node:
+    """A DOM node.  ``attrs`` is an insertion-ordered dict which matches
+    html5ever's Vec<Attribute> semantics: ``set_attr`` updates in place when
+    the name exists and appends otherwise; duplicates at parse time are
+    first-wins."""
+
+    __slots__ = ("kind", "name", "attrs", "data", "parent", "children")
+
+    def __init__(self, kind, name=None, attrs=None, data=None):
+        self.kind = kind
+        self.name = name
+        self.attrs = attrs if attrs is not None else {}
+        self.data = data
+        self.parent = None
+        self.children = []
+
+    # ------------------------------------------------------------------ tree
+
+    def append_child(self, child):
+        """Append ``child`` as the last child, detaching it from any current
+        parent first (mirrors dom_query NodeRef::append_child)."""
+        if child.parent is not None:
+            child.parent.children.remove(child)
+        child.parent = self
+        self.children.append(child)
+
+    def remove_from_parent(self):
+        if self.parent is not None:
+            self.parent.children.remove(self)
+            self.parent = None
+
+    def replace_with(self, other):
+        """Replace this node with ``other`` in the parent's child list."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        if other.parent is not None:
+            other.parent.children.remove(other)
+            # index may have shifted if other was an earlier sibling
+            idx = parent.children.index(self)
+        parent.children[idx] = other
+        other.parent = parent
+        self.parent = None
+
+    def insert_before(self, other, reference):
+        """Insert ``other`` immediately before child ``reference``."""
+        if other.parent is not None:
+            other.parent.children.remove(other)
+        idx = self.children.index(reference)
+        self.children.insert(idx, other)
+        other.parent = self
+
+    # ------------------------------------------------------------- structure
+
+    def next_sibling(self):
+        p = self.parent
+        if p is None:
+            return None
+        i = p.children.index(self)
+        return p.children[i + 1] if i + 1 < len(p.children) else None
+
+    def prev_element_sibling(self):
+        p = self.parent
+        if p is None:
+            return None
+        i = p.children.index(self)
+        for j in range(i - 1, -1, -1):
+            if p.children[j].kind == ELEMENT:
+                return p.children[j]
+        return None
+
+    def last_child(self):
+        return self.children[-1] if self.children else None
+
+    def ancestors(self):
+        """All ancestors from parent upward (excluding self)."""
+        out = []
+        n = self.parent
+        while n is not None:
+            out.append(n)
+            n = n.parent
+        return out
+
+    def descendants(self):
+        """All descendants in document order (excluding self)."""
+        out = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            out.append(n)
+            if n.children:
+                stack.extend(reversed(n.children))
+        return out
+
+    # --------------------------------------------------------------- content
+
+    def text(self):
+        """Concatenated text of all descendant (or self) text nodes, document
+        order, no normalization (dom_query Node::text semantics)."""
+        if self.kind == TEXT:
+            return self.data
+        parts = []
+        stack = list(reversed(self.children))
+        while stack:
+            n = stack.pop()
+            if n.kind == TEXT:
+                parts.append(n.data)
+            elif n.children:
+                stack.extend(reversed(n.children))
+        return "".join(parts)
+
+    # ----------------------------------------------------------------- attrs
+
+    def attr(self, name):
+        return self.attrs.get(name)
+
+    def set_attr(self, name, value):
+        self.attrs[name] = value
+
+    def remove_attrs(self, names):
+        for name in names:
+            self.attrs.pop(name, None)
+
+    def rename(self, name):
+        self.name = name
+
+    # ----------------------------------------------------------------- preds
+
+    @property
+    def is_element(self):
+        return self.kind == ELEMENT
+
+    @property
+    def is_text(self):
+        return self.kind == TEXT
+
+
+def new_element(name, attrs=None):
+    return Node(ELEMENT, name=name, attrs=dict(attrs) if attrs else {})
+
+
+def new_text(data):
+    return Node(TEXT, data=data)
+
+
+# ============================================================== tree builder
+
+
+class _TreeBuilder(HTMLParser):
+    """HTML5-subset tree construction on top of the stdlib tokenizer.
+
+    The stdlib tokenizer (with ``convert_charrefs=True``) already matches
+    html5ever on: charref decoding in text and attribute values (same WHATWG
+    table), script/style raw-text (CDATA) content, tag/attr lowercasing."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.document = Node(DOCUMENT)
+        self.html = None
+        self.head = None
+        self.body = None
+        # phase: 0 initial, 1 in_head, 2 after_head, 3 in_body
+        self.phase = 0
+        self.stack = []  # open elements, excluding html/head/body bookkeeping
+
+    # -------------------------------------------------------------- plumbing
+
+    def _current(self):
+        return self.stack[-1] if self.stack else None
+
+    def _ensure_html(self, attrs=None):
+        if self.html is None:
+            self.html = new_element("html", attrs)
+            self.document.append_child(self.html)
+            self.stack.append(self.html)
+        elif attrs:
+            # <html> seen again: merge new attrs (first-wins per html5ever)
+            for k, v in attrs.items():
+                self.html.attrs.setdefault(k, v)
+
+    def _ensure_head(self, attrs=None):
+        self._ensure_html()
+        if self.head is None:
+            self.head = new_element("head", attrs)
+            self.html.append_child(self.head)
+        if self.phase == 0:
+            self.phase = 1
+
+    def _close_head(self):
+        if self.phase <= 1:
+            self._ensure_head()
+            if self.stack and self.stack[-1] is self.head:
+                self.stack.pop()
+            self.phase = 2
+
+    def _ensure_body(self, attrs=None):
+        self._close_head()
+        if self.body is None:
+            self.body = new_element("body", attrs)
+            self.html.append_child(self.body)
+            # stack currently holds html at bottom
+            self.stack.append(self.body)
+        elif attrs:
+            for k, v in attrs.items():
+                self.body.attrs.setdefault(k, v)
+        self.phase = 3
+
+    def _insert(self, node, foster_ok=True):
+        cur = self._current()
+        if cur is None:
+            self._ensure_body()
+            cur = self._current()
+        if (
+            foster_ok
+            and cur.name in ("table", "tbody", "thead", "tfoot", "tr")
+            and not (node.kind == TEXT and node.data.strip() == "")
+            and not (
+                node.kind == ELEMENT
+                and node.name
+                in ("table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption", "col", "colgroup", "script", "style", "template", "form")
+            )
+        ):
+            # minimal foster parenting: insert before the nearest table
+            table = cur
+            while table is not None and table.name != "table":
+                table = table.parent
+            if table is not None and table.parent is not None:
+                table.parent.insert_before(node, table)
+                return
+        cur.append_child(node)
+
+    def _append_text(self, data):
+        cur = self._current()
+        last = cur.last_child() if cur else None
+        if (
+            last is not None
+            and last.kind == TEXT
+            and not (
+                cur.name in ("table", "tbody", "thead", "tfoot", "tr")
+                and data.strip() != ""
+            )
+        ):
+            last.data += data
+        else:
+            self._insert(new_text(data))
+
+    def _close_p_in_button_scope(self):
+        for i in range(len(self.stack) - 1, -1, -1):
+            name = self.stack[i].name
+            if name == "p":
+                del self.stack[i:]
+                return
+            if name in _BUTTON_SCOPE_STOP:
+                return
+
+    def _close_in_scope(self, tags, stop):
+        for i in range(len(self.stack) - 1, -1, -1):
+            name = self.stack[i].name
+            if name in tags:
+                del self.stack[i:]
+                return
+            if name in stop:
+                return
+
+    # ------------------------------------------------------------- tokenizer
+
+    def handle_decl(self, decl):
+        if decl.lower().startswith("doctype"):
+            node = Node(DOCTYPE, data=decl[len("doctype") :].strip())
+            self.document.append_child(node)
+
+    def handle_comment(self, data):
+        node = Node(COMMENT, data=data)
+        if self.phase == 0 and self.html is None:
+            self.document.append_child(node)
+        elif self.phase <= 1:
+            self._ensure_head()
+            self.head.append_child(node)
+        elif self.phase == 2:
+            self.html.append_child(node)
+        else:
+            self._insert(node)
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+        if tag not in VOID_ELEMENTS:
+            self.handle_endtag(tag)
+
+    def handle_starttag(self, tag, attrs):
+        attrd = {}
+        for k, v in attrs:
+            if k not in attrd:
+                attrd[k] = v if v is not None else ""
+
+        if tag == "html":
+            self._ensure_html(attrd)
+            return
+        if tag == "head":
+            self._ensure_head(attrd)
+            self.stack.append(self.head)
+            return
+        if tag == "body":
+            self._ensure_body(attrd)
+            return
+        if self.phase < 3 and tag in HEAD_ELEMENTS:
+            # head-element start tag before <body>: insert into the current
+            # open head element if one is open, else into <head> itself
+            # ("after head" mode re-inserts such elements into head too)
+            self._ensure_head()
+            cur = self._current()
+            target = (
+                cur
+                if cur is not None and cur is not self.html and cur is not self.head
+                else self.head
+            )
+            node = new_element(tag, attrd)
+            target.append_child(node)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(node)
+            return
+
+        if self.phase < 3:
+            self._ensure_body()
+
+        # implicit closes
+        if tag in P_CLOSERS:
+            self._close_p_in_button_scope()
+        if tag == "li":
+            self._close_in_scope(("li",), _LIST_ITEM_SCOPE_STOP)
+        if tag in ("dd", "dt"):
+            self._close_in_scope(("dd", "dt"), _LIST_ITEM_SCOPE_STOP)
+        if tag in ("td", "th"):
+            self._close_in_scope(("td", "th"), frozenset(("table", "html")))
+        if tag == "tr":
+            self._close_in_scope(("tr",), frozenset(("table", "html")))
+        if tag == "option":
+            self._close_in_scope(("option",), frozenset(("select", "html", "body")))
+
+        cur = self._current()
+        # table section synthesis
+        if tag == "tr" and cur is not None and cur.name == "table":
+            tbody = new_element("tbody")
+            cur.append_child(tbody)
+            self.stack.append(tbody)
+            cur = tbody
+        elif tag in ("td", "th") and cur is not None and cur.name == "table":
+            tbody = new_element("tbody")
+            cur.append_child(tbody)
+            self.stack.append(tbody)
+            tr = new_element("tr")
+            tbody.append_child(tr)
+            self.stack.append(tr)
+            cur = tr
+        elif tag in ("td", "th") and cur is not None and cur.name in _TABLE_SECTIONS:
+            tr = new_element("tr")
+            cur.append_child(tr)
+            self.stack.append(tr)
+            cur = tr
+        elif tag in _TABLE_SECTIONS and cur is not None and cur.name in _TABLE_SECTIONS:
+            self.stack.pop()
+
+        node = new_element(tag, attrd)
+        self._insert(node)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(node)
+
+    def handle_endtag(self, tag):
+        if tag == "html":
+            return
+        if tag == "head":
+            self._close_head()
+            return
+        if tag == "body":
+            # leave body open; trailing content still lands in body
+            if self.body is not None:
+                while self.stack and self.stack[-1] is not self.body:
+                    self.stack.pop()
+            return
+        if tag == "br":
+            # </br> is treated as <br> by html5
+            self.handle_starttag("br", [])
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            n = self.stack[i]
+            if n.name == tag:
+                del self.stack[i:]
+                return
+            if n in (self.html, self.body):
+                return
+        # unmatched end tag: ignored
+
+    def handle_data(self, data):
+        if not data:
+            return
+        if self.phase >= 3:
+            self._append_text(data)
+            return
+        cur = self._current()
+        if cur is not None and cur is not self.html and cur is not self.head:
+            # inside an open head element (title/script/style/noscript/...)
+            self._append_to(cur, data)
+            return
+        if data.strip() == "":
+            # whitespace handling per insertion mode: dropped before head,
+            # kept inside head, appended to <html> between head and body
+            if self.phase == 1:
+                self._ensure_head()
+                self._append_to(self.head, data)
+            elif self.phase == 2:
+                self._append_to(self.html, data)
+            return
+        # non-whitespace character token opens the body; leading whitespace
+        # chars were individually ignored in the pre-head modes
+        if self.phase == 0:
+            data = data.lstrip()
+        self._ensure_body()
+        self._append_text(data)
+
+    def _append_to(self, node, data):
+        last = node.last_child()
+        if last is not None and last.kind == TEXT:
+            last.data += data
+        else:
+            node.append_child(new_text(data))
+
+    def finish(self):
+        self.close()
+        self._ensure_body()
+        return self.document
+
+
+def parse_document(html):
+    """Parse an HTML string into a DOCUMENT node (dom_query::Document::from)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8")
+    # html5ever input-stream preprocessing
+    html = html.replace("\r\n", "\n").replace("\r", "\n").replace("\x00", "�")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    return builder.finish()
+
+
+# ================================================================ serializer
+
+
+_TEXT_ESCAPES = {"&": "&amp;", "\xa0": "&nbsp;", "<": "&lt;", ">": "&gt;"}
+_ATTR_ESCAPES = {"&": "&amp;", "\xa0": "&nbsp;", '"': "&quot;"}
+
+
+def _escape_text(s):
+    if "&" in s or "\xa0" in s or "<" in s or ">" in s:
+        for ch, rep in _TEXT_ESCAPES.items():
+            s = s.replace(ch, rep)
+    return s
+
+
+def _escape_attr(s):
+    if "&" in s or "\xa0" in s or '"' in s:
+        for ch, rep in _ATTR_ESCAPES.items():
+            s = s.replace(ch, rep)
+    return s
+
+
+def _serialize_into(node, out, raw):
+    kind = node.kind
+    if kind == TEXT:
+        out.append(node.data if raw else _escape_text(node.data))
+        return
+    if kind == COMMENT:
+        out.append(f"<!--{node.data}-->")
+        return
+    if kind == DOCTYPE:
+        out.append(f"<!DOCTYPE {node.data}>")
+        return
+    if kind == DOCUMENT:
+        for child in node.children:
+            _serialize_into(child, out, False)
+        return
+    # element
+    out.append("<")
+    out.append(node.name)
+    for k, v in node.attrs.items():
+        out.append(f' {k}="{_escape_attr(v)}"')
+    out.append(">")
+    if node.name in VOID_ELEMENTS:
+        return
+    child_raw = node.name in RAW_TEXT_ELEMENTS
+    for child in node.children:
+        _serialize_into(child, out, child_raw)
+    out.append(f"</{node.name}>")
+
+
+def serialize(node):
+    """Serialize a node (outer HTML for elements; whole doc for DOCUMENT)
+    using html5ever's serializer rules."""
+    out = []
+    _serialize_into(node, out, False)
+    return "".join(out)
+
+
+def inner_html(node):
+    out = []
+    raw = node.kind == ELEMENT and node.name in RAW_TEXT_ELEMENTS
+    for child in node.children:
+        _serialize_into(child, out, raw)
+    return "".join(out)
+
+
+# ================================================================= selectors
+
+# The engine needs only this selector subset (see SURVEY.md section 2):
+#   tag | * | tag[attr='v'] | parent > tag/* | comma lists
+
+
+def _compile_one(sel):
+    sel = sel.strip()
+    parent = None
+    if ">" in sel:
+        left, right = sel.split(">", 1)
+        parent = left.strip()
+        sel = right.strip()
+    attr = None
+    if "[" in sel:
+        tag, rest = sel.split("[", 1)
+        body = rest.rstrip("]")
+        name, value = body.split("=", 1)
+        attr = (name.strip(), value.strip().strip("'\""))
+        sel = tag.strip()
+    tag = sel or "*"
+    return (parent, tag, attr)
+
+
+def compile_selector(selector):
+    return [_compile_one(part) for part in selector.split(",")]
+
+
+def _matches_compiled(node, alts):
+    if node.kind != ELEMENT:
+        return False
+    for parent, tag, attr in alts:
+        if tag != "*" and node.name != tag:
+            continue
+        if attr is not None:
+            if node.attrs.get(attr[0]) != attr[1]:
+                continue
+        if parent is not None:
+            p = node.parent
+            if p is None or p.kind != ELEMENT:
+                continue
+            if parent != "*" and p.name != parent:
+                continue
+        return True
+    return False
+
+
+def matches(node, selector):
+    """dom_query Node::is(selector)."""
+    return _matches_compiled(node, compile_selector(selector))
+
+
+def select(root, selector):
+    """All descendant elements of ``root`` matching ``selector``, in document
+    order (dom_query Document/Selection::select)."""
+    alts = compile_selector(selector)
+    return [n for n in root.descendants() if _matches_compiled(n, alts)]
+
+
+def select_first_attr(root, selector, name):
+    """First matching node's attribute (reference Document::attribute,
+    /root/reference/src/document.rs:8-16)."""
+    nodes = select(root, selector)
+    if not nodes:
+        return None
+    return nodes[0].attrs.get(name)
+
+
+def element_count(root):
+    """Count of element nodes (reference Document::element_count,
+    /root/reference/src/document.rs:18-26)."""
+    return sum(1 for n in root.descendants() if n.kind == ELEMENT)
