@@ -1,0 +1,116 @@
+"""Deterministic Common-Crawl-style pages synthesized from the driver's
+``documents`` table (TESTDATA.md) — no external data, seedless pure
+functions of the row, so every run and every engine (Spark, DuckDB oracle)
+agrees byte-for-byte.
+
+The page template is constructed so the full 16-stage extraction output is
+a closed-form function of the source row; the DuckDB oracle in
+``__spark_entry__.py`` recomputes it in pure SQL, making the whole DOM
+pipeline end-to-end verifiable (byte-identical text per url) by the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: fraction of rows assigned to the hot domain to exercise skew salting
+HOT_DOMAIN = "hot.example.com"
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def page_url(doc_id, source):
+    """Hot-domain assignment: doc_id % 10 < 4 -> 40% of rows on one domain
+    (FIXTURES.md section 1.1 skew requirement)."""
+    domain = HOT_DOMAIN if doc_id % 10 < 4 else f"{source}.example.com"
+    return f"https://{domain}/articles/doc-{doc_id:06d}.html"
+
+
+def synthesize_html(doc_id, text, lang):
+    """Deterministic article page for a documents row.
+
+    The closed-form extraction results (mirrored in SQL by
+    __spark_entry__.oracle_sql):
+      title          = 'Daily Report Number {doc_id} Edition'
+      byline         = 'Reporter {doc_id % 20}'
+      site_name      = 'ExampleSite'
+      published_time = '2026-02-{1 + doc_id % 27:02d}'
+      lang           = lang (nullable via trim/empty)
+      dir            = None
+      excerpt        = text (trimmed)
+      text_content   = '{title} | ExampleSite' + '{title}' + text + ' Section {doc_id} closing remarks.'
+    """
+    title = f"Daily Report Number {doc_id} Edition"
+    body_text = _htmlmod.escape(text, quote=False)
+    return (
+        f'<html lang="{lang}"><head>'
+        f"<title>{title} | ExampleSite</title>"
+        f'<meta property="og:site_name" content="ExampleSite"/>'
+        f'<meta name="author" content="Reporter {doc_id % 20}"/>'
+        f'<meta property="article:published_time" content="2026-02-{1 + doc_id % 27:02d}"/>'
+        f"</head><body>"
+        f'<div class="sidebar"><a href="/home">Home</a> nav junk</div>'
+        f'<div id="page-main"><h1>{title}</h1>'
+        f"<p>{body_text}</p>"
+        f"<p> Section {doc_id} closing remarks.</p></div>"
+        f'<div style="display:none">hidden tracking pixel</div>'
+        f"<script>var t=1;</script>"
+        f"</body></html>"
+    )
+
+
+def _synthesize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        urls = [page_url(i, s) for i, s in zip(pdf["doc_id"], pdf["source"])]
+        htmls = [
+            synthesize_html(i, t, l).encode("utf-8")
+            for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        yield pd.DataFrame(
+            {
+                "url": urls,
+                "warc_ts": pd.to_datetime(pdf["doc_id"] * 37, unit="s", origin="2026-01-01"),
+                "html": htmls,
+                "text": pdf["text"],
+                "lang": pdf["lang"],
+            }
+        )
+
+
+def pages_from_documents(documents_df):
+    """documents(doc_id,text,lang,source,...) -> pages(url,warc_ts,html,text,lang).
+
+    Vectorized (mapInPandas, Arrow batches) — no per-row Python UDF calls at
+    the Spark API level, per the north_rule input_hint.
+    """
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        _synthesize_batches, schema=PAGES_SCHEMA
+    )
+
+
+def read_pages(spark, sf_dir):
+    """Standard input: synthesize the pages table from the sf dir's documents
+    parquet (deterministic, in-memory; never writes outside the repo)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pages_from_documents(docs)
