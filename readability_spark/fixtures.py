@@ -1,0 +1,334 @@
+"""Deterministic golden fixture corpus (FIXTURES.md section 2).
+
+Each family is a parameterized HTML template derived from the reference's
+own unit-test inputs, so every pipeline stage is exercised by at least one
+family.  All generation is a pure function of (seed=42, row index) — no
+wall clock, no ambient randomness — and every document stays inside the
+HTML5 subset the parser implements (implied html/head/body, tbody
+insertion, void elements, p-auto-close, raw-text script/style/title).
+
+``golden_for(row)`` produces the expected Article by running the
+Tier-1-verified single-document extractor; the Spark pipeline must
+reproduce it byte-for-byte (Tier-2 invariant, FIXTURES.md section 3).
+"""
+
+from __future__ import annotations
+
+import random
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from .pipeline import extract_row
+
+SEED = 42
+
+DOMAINS = [f"site{i:02d}.example.org" for i in range(19)]
+HOT_DOMAIN = "hot.example.com"
+
+LANGS = ["en", "es", "fr", "de", "ja", ""]
+
+WORDS = (
+    "report analysis update market science culture policy review economy "
+    "technology climate research history travel education health sports art "
+    "music finance"
+).split()
+
+
+def _words(rng, n):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+# ----------------------------------------------------------- family builders
+# Each returns an HTML string (or bytes for the malformed family).
+
+
+def plain_article(i, rng):
+    return (
+        f"<html><head><title>{_words(rng, 6).title()}</title></head><body>"
+        f"<p>{_words(rng, 12)}.</p><p>{_words(rng, 15)}.</p>"
+        f"<p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def title_separator(i, rng):
+    sep = rng.choice(["|", "-", "–", "—", "/", ">", "»"])
+    return (
+        f"<html><head><title>{_words(rng, 5).title()} {sep} Site Name</title>"
+        f"</head><body><p>{_words(rng, 12)}.</p></body></html>"
+    )
+
+
+def title_colon(i, rng):
+    return (
+        f"<html><head><title>site: {_words(rng, 4)}</title></head>"
+        f"<body><p>{_words(rng, 12)}.</p></body></html>"
+    )
+
+
+def title_h1_fallback(i, rng):
+    return (
+        f"<html><head><title>hi</title></head><body>"
+        f"<h1>{_words(rng, 4).title()}</h1><p>{_words(rng, 12)}.</p></body></html>"
+    )
+
+
+def jsonld_full(i, rng):
+    variant = i % 5
+    name = _words(rng, 4).title()
+    author = _words(rng, 2).title()
+    desc = _words(rng, 8)
+    if variant == 0:
+        script = (
+            '{"@context":"https://schema.org","@type":"NewsArticle",'
+            f'"name":"{name}","description":"{desc}",'
+            f'"publisher":{{"name":"Golden Press"}},"datePublished":"2026-0{1 + i % 9}-11",'
+            f'"author":{{"name":"{author}"}}}}'
+        )
+    elif variant == 1:
+        script = (
+            f'[{{"@context":"https://schema.org","@type":"VideoObject","name":"nope"}},'
+            f'{{"@context":"https://schema.org","@type":"BlogPosting","name":"{name}",'
+            f'"author":[{{"name":"{author}"}},{{"name":"Second Author"}}]}}]'
+        )
+    elif variant == 2:
+        script = (
+            '{"@context":"https://schema.org","@graph":['
+            '{"@type":"WebSite","name":"nope"},'
+            f'{{"@type":"Article","name":"{name}","headline":"other"}}]}}'
+        )
+    elif variant == 3:
+        script = (
+            '<![CDATA[ {"@context":{"@vocab":"https://schema.org/"},'
+            f'"@type":"TechArticle","headline":"{name}"}} ]]>'
+        )
+    else:
+        # first script invalid, second valid
+        return (
+            '<html><head><script type="application/ld+json">not json</script>'
+            '<script type="application/ld+json">'
+            f'{{"@context":"https://schema.org","@type":"Article","name":"{name}"}}'
+            f"</script></head><body><p>{_words(rng, 10)}.</p></body></html>"
+        )
+    return (
+        f'<html><head><script type="application/ld+json">{script}</script>'
+        f'<meta property="og:title" content="meta loses"/>'
+        f"</head><body><p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def meta_tags(i, rng):
+    author = _words(rng, 2).title()
+    title = _words(rng, 5).title()
+    variant = i % 4
+    metas = {
+        0: (
+            f'<meta property="og:title" content="{title}"/>'
+            f'<meta property="og:description" content="{_words(rng, 8)}"/>'
+            f'<meta property="og:site_name" content="Meta Site"/>'
+            f'<meta name="author" content="{author}"/>'
+        ),
+        1: (
+            f'<meta name="dc.title" content="{title}"/>'
+            f'<meta property="og:title" content="og loses"/>'
+            f'<meta name="dc.creator" content="{author}"/>'
+            f'<meta property="article:published_time" content="2026-0{1 + i % 9}-21"/>'
+        ),
+        2: (
+            f'<meta property="og:title twitter:title" content="{title}"/>'
+            f'<meta property="article:author" content="https://{HOT_DOMAIN}/a"/>'
+            f'<meta name="twitter:description" content="{_words(rng, 6)}"/>'
+        ),
+        3: (
+            f'<meta name="parsely-title" content="{title}"/>'
+            f'<meta name="parsely-pub-date" content="2026-0{1 + i % 9}-28"/>'
+            f'<meta property="article:author" content="{author}"/>'
+            f'<meta property="og:title" content=""/>'
+        ),
+    }[variant]
+    return f"<html><head>{metas}</head><body><p>{_words(rng, 10)}.</p></body></html>"
+
+
+def byline_dom(i, rng):
+    author = _words(rng, 2).title()
+    variant = i % 4
+    el = {
+        0: f'<a rel="author">{author}</a>',
+        1: f'<span itemprop="author"><span itemprop="name">{author}</span> dross</span>',
+        2: f'<div class="article-author">{author}</div>',
+        3: f'<p id="byline">{author}</p>',
+    }[variant]
+    return (
+        f"<html><head><title>{_words(rng, 5).title()}</title></head><body>"
+        f"{el}<p>{_words(rng, 12)}.</p></body></html>"
+    )
+
+
+def lang_dir(i, rng):
+    variant = i % 4
+    html_attrs = {0: ' lang="en" dir="ltr"', 1: ' lang=" fr "', 2: ' xml:lang="de"', 3: ' lang=""'}[variant]
+    body_attrs = ' dir="rtl"' if variant == 0 else ""
+    return (
+        f"<html{html_attrs}><head><title>{_words(rng, 5).title()}</title></head>"
+        f"<body{body_attrs}><p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def disallowed_nodes(i, rng):
+    return (
+        f"<html><head><style>p {{ color: red; }}</style></head><body>"
+        f"<script>var x = {i};</script><p>{_words(rng, 10)}.</p>"
+        f"<noscript>enable js</noscript></body></html>"
+    )
+
+
+def hidden_nodes(i, rng):
+    variant = i % 5
+    hidden = {
+        0: '<div style="display:none">secret</div>',
+        1: '<div style="display: none">secret</div>',
+        2: '<div style="visibility:hidden">secret</div>',
+        3: "<div hidden>secret</div>",
+        4: '<div aria-hidden="true">secret</div>',
+    }[variant]
+    return (
+        f"<html><body>{hidden}<p>{_words(rng, 10)}.</p>"
+        f'<div aria-modal="true" role="dialog">modal</div></body></html>'
+    )
+
+
+def unlikely_candidates(i, rng):
+    return (
+        f'<html><body><div class="sidebar">junk</div>'
+        f'<div id="comments-area">junk</div>'
+        f'<div class="comment article">rescued {_words(rng, 3)}</div>'
+        f'<nav role="navigation">junk</nav>'
+        f"<p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def empty_containers(i, rng):
+    return (
+        f"<html><body><div></div><section></section><h2></h2>"
+        f"<div><br><hr></div><span></span><p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def br_chains(i, rng):
+    a, b, c = _words(rng, 4), _words(rng, 4), _words(rng, 4)
+    return (
+        f"<html><body><div>{a}<br><br>{b}<br> <br>{c}</div></body></html>"
+    )
+
+
+def font_tags(i, rng):
+    return (
+        f"<html><body><font>{_words(rng, 3)} <font>{_words(rng, 2)}</font></font>"
+        f"<p>{_words(rng, 10)}.</p></body></html>"
+    )
+
+
+def noscript_images(i, rng):
+    variant = i % 3
+    if variant == 0:
+        body = (
+            f'<img alt="ph{i}"/><noscript><img src="real-{i}.jpg"/></noscript>'
+            f"<p>{_words(rng, 8)}.</p>"
+        )
+    elif variant == 1:
+        body = (
+            f'<div><img/></div><noscript><img data-src="lazy-{i}.png"/></noscript>'
+            f"<p>{_words(rng, 8)}.</p>"
+        )
+    else:
+        body = f'<img class="lazy"/><p>{_words(rng, 8)}.</p>'
+    return f"<html><body>{body}</body></html>"
+
+
+def entities(i, rng):
+    return (
+        f"<html><head><title>Cats &amp; Dogs &#x2014; Number {i}</title>"
+        f'<meta name="author" content="A &quot;B&quot; C"/>'
+        f"</head><body><p>{_words(rng, 8)} &lt;tag&gt;.</p></body></html>"
+    )
+
+
+def element_limit_family(i, rng):
+    spans = "".join(f"<span>{w}</span>" for w in [_words(rng, 1) for _ in range(40)])
+    return f"<html><body><div>{spans}</div><p>{_words(rng, 8)}.</p></body></html>"
+
+
+def malformed(i, rng):
+    variant = i % 3
+    if variant == 0:
+        return b""
+    if variant == 1:
+        return b"   \n\t  "
+    return b"\xff\xfe\x80\x81 not utf8"
+
+
+FAMILIES = [
+    ("plain_article", plain_article),
+    ("title_separator", title_separator),
+    ("title_colon", title_colon),
+    ("title_h1_fallback", title_h1_fallback),
+    ("jsonld_full", jsonld_full),
+    ("meta_tags", meta_tags),
+    ("byline_dom", byline_dom),
+    ("lang_dir", lang_dir),
+    ("disallowed_nodes", disallowed_nodes),
+    ("hidden_nodes", hidden_nodes),
+    ("unlikely_candidates", unlikely_candidates),
+    ("empty_containers", empty_containers),
+    ("br_chains", br_chains),
+    ("font_tags", font_tags),
+    ("noscript_images", noscript_images),
+    ("entities", entities),
+    ("element_limit", element_limit_family),
+    ("malformed", malformed),
+]
+
+
+@dataclass
+class FixtureRow:
+    url: str
+    warc_ts: datetime
+    html: bytes
+    text: str
+    lang: str
+    family: str
+
+
+def build_rows(n=200):
+    """n deterministic pages rows: ~55% plain_article, the rest cycling
+    through the remaining families (each family >= 5 rows at n=200)."""
+    rows = []
+    others = FAMILIES[1:]
+    other_idx = 0
+    for i in range(n):
+        rng = random.Random(SEED * 1_000_003 + i)
+        if i % 20 < 11:
+            family, builder = FAMILIES[0]
+        else:
+            family, builder = others[other_idx % len(others)]
+            other_idx += 1
+        html = builder(i, rng)
+        if isinstance(html, str):
+            html = html.encode("utf-8")
+        domain = HOT_DOMAIN if i % 10 < 4 else DOMAINS[i % len(DOMAINS)]
+        rows.append(
+            FixtureRow(
+                url=f"https://{domain}/fixtures/{family}/page-{i:06d}.html",
+                warc_ts=datetime(2026, 1, 1) + timedelta(seconds=37 * i),
+                html=html,
+                text=html.decode("utf-8", errors="replace"),
+                lang=LANGS[i % len(LANGS)],
+                family=family,
+            )
+        )
+    return rows
+
+
+def golden_for(rows, options=None):
+    """Expected outputs, computed by the (Tier-1-verified) local extractor.
+    Returns {url: (article_or_none, status, error)}."""
+    return {r.url: extract_row(r.html, options=options) for r in rows}

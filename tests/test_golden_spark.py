@@ -1,0 +1,160 @@
+"""Tier-2 golden end-to-end tests over a DataFrame (FIXTURES.md section 3)
+plus Tier-4 skew/resume tests.
+
+Invariants:
+1. byte-identical text_content (and all metadata fields) per url between the
+   Spark pipeline and the locally-computed golden corpus;
+2. row count preserved (every url exactly once, ok or error);
+3. malformed rows -> status != 'ok', null article fields; other families ok;
+4. determinism: two runs produce identical tables;
+5. resume: a partially-committed run finishes without recomputing done
+   partitions, and the resumed table equals a clean full run.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from readability_spark.fixtures import build_rows, golden_for
+from readability_spark.spark.job import extract_articles, run_job
+from readability_spark.spark.session import get_spark
+
+N_ROWS = 200
+
+
+@pytest.fixture(scope="module")
+def spark():
+    spark = get_spark(app_name="golden-tests", master="local[8]", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def fixture_rows():
+    return build_rows(N_ROWS)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, fixture_rows):
+    data = [(r.url, r.warc_ts, r.html, r.text, r.lang, r.family) for r in fixture_rows]
+    return spark.createDataFrame(
+        data, "url string, warc_ts timestamp, html binary, text string, lang string, family string"
+    )
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_df):
+    return {r.url: r for r in extract_articles(pages_df).collect()}
+
+
+ARTICLE_COLS = (
+    "title byline dir excerpt lang published_time site_name text_content length content"
+).split()
+
+
+def test_row_count_preserved(extracted, fixture_rows):
+    assert len(extracted) == len(fixture_rows)
+    assert set(extracted) == {r.url for r in fixture_rows}
+
+
+def test_byte_identical_golden(extracted, fixture_rows):
+    golden = golden_for(fixture_rows)
+    mismatches = []
+    for r in fixture_rows:
+        got = extracted[r.url]
+        want_article, want_status, _ = golden[r.url]
+        if got.status != want_status:
+            mismatches.append((r.url, "status", got.status, want_status))
+            continue
+        if want_article is None:
+            continue
+        for col in ARTICLE_COLS:
+            want = getattr(want_article, col)
+            have = getattr(got, col)
+            if col in ("text_content", "content") and want is not None and have is not None:
+                same = want.encode("utf-8") == have.encode("utf-8")
+            else:
+                same = want == have
+            if not same:
+                mismatches.append((r.url, col, repr(have)[:80], repr(want)[:80]))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_family_statuses(extracted, fixture_rows):
+    for r in fixture_rows:
+        got = extracted[r.url]
+        if r.family == "malformed":
+            assert got.status == "error", r.url
+            assert got.text_content is None and got.title is None
+        else:
+            assert got.status == "ok", (r.url, got.error)
+
+
+def test_every_family_present(fixture_rows):
+    from collections import Counter
+
+    counts = Counter(r.family for r in fixture_rows)
+    assert len(counts) == 18
+    assert min(counts.values()) >= 5
+
+
+def test_determinism(spark, pages_df, extracted):
+    second = {r.url: r for r in extract_articles(pages_df).collect()}
+    assert set(second) == set(extracted)
+    for url, row in extracted.items():
+        a = {k: v for k, v in row.asDict().items() if k != "extract_ms"}
+        b = {k: v for k, v in second[url].asDict().items() if k != "extract_ms"}
+        assert a == b, url
+
+
+def test_resume_without_recompute(spark, pages_df, tmp_path):
+    out1, lin1 = str(tmp_path / "a1"), str(tmp_path / "l1")
+    rep = run_job(spark, pages_df, out1, lin1, run_id="t", num_partitions=8, salt_n=2, commit_groups=2)
+    assert rep.partitions_processed == 8
+    assert rep.docs == N_ROWS
+
+    # noop resume
+    rep2 = run_job(spark, pages_df, out1, lin1, run_id="t", num_partitions=8, salt_n=2, commit_groups=2)
+    assert rep2.partitions_processed == 0
+    assert spark.read.parquet(out1).count() == N_ROWS  # no duplicates
+
+    # simulated crash: keep only half the lineage + matching output
+    out2, lin2 = str(tmp_path / "a2"), str(tmp_path / "l2")
+    spark.read.parquet(lin1).filter(F.col("partition_id") < 4).write.parquet(lin2)
+    spark.read.parquet(out1).filter(F.col("partition_id") < 4).write.partitionBy(
+        "partition_id"
+    ).parquet(out2)
+    rep3 = run_job(spark, pages_df, out2, lin2, run_id="t", num_partitions=8, salt_n=2, commit_groups=2)
+    assert rep3.partitions_done_previously == 4
+    assert rep3.partitions_processed == 4
+
+    clean = sorted(
+        (r.url, r.text_content, r.status)
+        for r in spark.read.parquet(out1).select("url", "text_content", "status").collect()
+    )
+    resumed = sorted(
+        (r.url, r.text_content, r.status)
+        for r in spark.read.parquet(out2).select("url", "text_content", "status").collect()
+    )
+    assert clean == resumed
+
+
+def test_lineage_schema_and_metrics(spark, pages_df, tmp_path):
+    out, lin = str(tmp_path / "a"), str(tmp_path / "l")
+    run_job(spark, pages_df, out, lin, run_id="m", num_partitions=4, salt_n=2, commit_groups=1)
+    lineage = spark.read.parquet(lin)
+    assert set(lineage.columns) == {
+        "run_id", "partition_id", "status", "docs", "ok", "failed",
+        "started_at", "finished_at", "docs_per_sec",
+    }
+    rows = lineage.collect()
+    assert len(rows) == 4
+    assert sum(r.docs for r in rows) == N_ROWS
+    assert sum(r.failed for r in rows) > 0  # malformed family rows recorded
+    assert all(r.docs_per_sec is None or r.docs_per_sec > 0 for r in rows)
