@@ -23,6 +23,14 @@ class Options:
     n_top_candidates: int = 5
     preserved_classes: tuple[str, ...] = ("page",)
     use_json_ld: bool = True
+    #: our extension (not in options.rs): opt into the Arc90 candidate-scoring
+    #: pass (scoring.py). Off by default so the default output stays
+    #: byte-identical to the reference's whole-document behavior
+    #: (/root/reference/src/readability.rs:53-60). When on, the scoring pass
+    #: finally consumes link_density_bias / min_text_length /
+    #: n_top_candidates / preserved_classes, which the reference declares but
+    #: never reads (SURVEY.md section 0).
+    content_extraction: bool = False
 
 
 DEFAULT_OPTIONS = Options()

@@ -52,10 +52,19 @@ def extract(html, base_url=None, options=None):
     options = options or DEFAULT_OPTIONS
     document = dom.parse_document(html)
     ctx = run_pipeline(document, options)
-    text_content = document.text()
+    content_root = document
+    if options.content_extraction:
+        # opt-in Arc90 scoring pass (scoring.py); falls back to the
+        # whole cleaned document when no candidate clears min_text_length
+        from .scoring import grab_article
+
+        selected = grab_article(document, options)
+        if selected is not None:
+            content_root = selected
+    text_content = content_root.text()
     return Article(
         byline=ctx.metadata.byline,
-        content=dom.serialize(document),
+        content=dom.serialize(content_root),
         dir=ctx.dir,
         excerpt=ctx.metadata.excerpt,
         lang=ctx.lang,

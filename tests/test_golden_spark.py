@@ -158,3 +158,27 @@ def test_lineage_schema_and_metrics(spark, pages_df, tmp_path):
     assert sum(r.docs for r in rows) == N_ROWS
     assert sum(r.failed for r in rows) > 0  # malformed family rows recorded
     assert all(r.docs_per_sec is None or r.docs_per_sec > 0 for r in rows)
+
+
+def test_scored_extraction_matches_local_golden(spark, pages_df, fixture_rows):
+    """Tier-2 for the Arc90 scoring pass: the Spark path with
+    content_extraction=True is byte-identical per url to the local
+    (Tier-1-verified) extractor under the same options."""
+    from readability_spark.options import Options
+
+    opts = Options(content_extraction=True, min_text_length=0)
+    got = {r.url: r for r in extract_articles(pages_df, options=opts).collect()}
+    golden = golden_for(fixture_rows, options=opts)
+    mismatches = []
+    for r in fixture_rows:
+        want_article, want_status, _ = golden[r.url]
+        have = got[r.url]
+        if have.status != want_status:
+            mismatches.append((r.url, "status", have.status, want_status))
+            continue
+        if want_article is None:
+            continue
+        for col in ("text_content", "content", "title", "length"):
+            if getattr(have, col) != getattr(want_article, col):
+                mismatches.append((r.url, col))
+    assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
