@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from readability_spark.spark.job import extract_articles, with_partition_id
 from readability_spark.spark.pages import read_pages
+from readability_spark.spark import textops
 
 # English/French/German/Spanish stopword markers for the LIKE-based language
 # heuristic (identical semantics in Spark SQL and DuckDB).
@@ -140,6 +141,28 @@ def domain_skew(spark, sf_dir):
     )
 
 
+@_q(
+    "extract_scored_text",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           {_SQL_TITLE} || text || ' Section ' || doc_id || ' closing remarks.' AS text_content
+    FROM documents
+    """,
+)
+def extract_scored_text(spark, sf_dir):
+    """Arc90 scoring pass (readability_spark/scoring.py): the top candidate
+    on the synthetic page is the #page-main div (positive id signal +
+    paragraph seeds), so the scored text drops the nav/site boilerplate the
+    whole-document output keeps.  Closed-form oracle: h1 + article text +
+    closing paragraph, nothing else."""
+    from readability_spark.options import Options
+
+    opts = Options(content_extraction=True, min_text_length=0)
+    return extract_articles(read_pages(spark, sf_dir), options=opts).select(
+        "url", "text_content"
+    )
+
+
 # ------------------------------------------------------------ dedup family
 
 
@@ -218,6 +241,141 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @_q(
+    "minhash_lsh_pairs",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND trim(text) != ''),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    minh AS (
+      SELECT doc_id, k, min(md5(cast(k AS varchar) || ':' || token)) AS mh
+      FROM tok, range(16) r(k) GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, cast(k // 4 AS int) AS band,
+             md5(string_agg(mh, '' ORDER BY k)) AS bkey
+      FROM minh GROUP BY doc_id, cast(k // 4 AS int)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS shared
+      FROM cand
+      JOIN tok ta ON ta.doc_id = doc_a
+      JOIN tok tb ON tb.doc_id = doc_b AND ta.token = tb.token
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash(16) -> 4x4 LSH banding -> bucket-join candidates -> exact
+    Jaccard verify (textops.minhash_lsh_pairs).  md5-seeded hashes make the
+    whole pipeline reproducible in the DuckDB oracle.  Bounded to
+    doc_id < 300 so the verify stage stays small at every sf; at scale the
+    bound is dropped and only LSH collisions are ever joined."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return textops.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+
+
+@_q(
+    "simhash_fingerprint",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE trim(text) != ''),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    votes AS (
+      SELECT doc_id, b,
+             sum((ascii(substr(md5(cast(b AS varchar) || ':' || token), 1, 1)) % 2) * 2 - 1) AS v
+      FROM tok, range(32) r(b) GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprint(spark, sf_dir):
+    """32-bit SimHash per document (textops.simhash): per-bit +-1 token
+    votes from md5 parity — near-dup docs differ in few bits (Hamming
+    distance over the bit-string)."""
+    return textops.simhash(_docs(spark, sf_dir), bits=32)
+
+
+@_q(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(
+             list_dot_product(a.embedding, b.embedding)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(
+            list_dot_product(a.embedding, b.embedding)
+            / (sqrt(list_dot_product(a.embedding, a.embedding))
+               * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.4
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (textops.embedding_near_dup_pairs),
+    bounded to vec_id < 500 — the brute-force verify tier; ann_ivf_topk is
+    the scale path."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 500
+    )
+    return textops.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+@_q(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             list_dot_product(e.embedding, c.cvec)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+      FROM e, c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id AS qcent
+          FROM assigned WHERE vec_id = 0)
+    SELECT a.vec_id,
+           round(
+             list_dot_product(a.embedding, q.qvec)
+             / (sqrt(list_dot_product(a.embedding, a.embedding))
+                * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+    FROM assigned a, q
+    WHERE a.centroid_id = q.qcent AND a.vec_id != q.qid
+    ORDER BY cosine DESC, a.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-k (textops.ann_ivf_topk): assign every
+    vector to its max-cosine centroid (centroids broadcast, single narrow
+    pass), probe only the query's bucket — ~1/C of the corpus scanned vs
+    brute force.  Centroids are the deterministic vec_id < 8 set."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    query = emb.filter(F.col("vec_id") == 0)
+    return textops.ann_ivf_topk(emb, centroids, query, k=10)
+
+
+@_q(
     "fingerprint",
     "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
 )
@@ -226,6 +384,32 @@ def fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
     )
+
+
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           100 + (ascii(substr(md5(text), 1, 1)) % 16) * 10 AS width,
+           100 + (ascii(substr(md5(text), 2, 1)) % 16) * 10 AS height,
+           'ok' AS status
+    FROM documents
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    """Binary media column plumbing (readability_spark/spark/multimodal.py):
+    synthesize an opaque payload column JVM-side, then decode/feature-
+    extract in one vectorized mapInPandas pass.  The decoder is a
+    deterministic stub (no media libs in this container) so the oracle can
+    recompute the features in closed form; schema/batching/failure paths
+    are the production ones."""
+    from readability_spark.spark.multimodal import attach_payloads, extract_media_features
+
+    return extract_media_features(attach_payloads(_docs(spark, sf_dir)))
 
 
 # ----------------------------------------------------------- text analysis
@@ -344,6 +528,121 @@ def topk_cosine(spark, sf_dir):
         joined.select("vec_id", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+@_q(
+    "topk_longest_per_domain",
+    """
+    WITH pages AS (
+      SELECT (case when doc_id % 10 < 4 then 'hot' else source end) || '.example.com' AS domain,
+             doc_id, length(text) AS n_chars
+      FROM documents
+    )
+    SELECT domain, doc_id, n_chars FROM (
+      SELECT *, row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM pages) WHERE rn <= 3
+    """,
+)
+def topk_longest_per_domain(spark, sf_dir):
+    """Window function coverage: per-domain top-3 longest documents
+    (rank-within-partition — the per-domain quality-sampling pattern)."""
+    from pyspark.sql import Window
+
+    pages = _docs(spark, sf_dir).select(
+        F.concat(
+            F.when(F.col("doc_id") % 10 < 4, F.lit("hot")).otherwise(F.col("source")),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        "doc_id",
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        pages.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("domain", "doc_id", "n_chars")
+    )
+
+
+@_q(
+    "except_regression_diff",
+    """
+    SELECT doc_id, md5(text) AS text_hash FROM documents
+    EXCEPT
+    SELECT doc_id, md5(upper(text)) AS text_hash FROM documents
+    """,
+)
+def except_regression_diff(spark, sf_dir):
+    """Set-operation coverage: EXCEPT between two runs' fingerprints — the
+    run-to-run regression diff (SURVEY.md section 2.4 'Set operations')."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    b = docs.select("doc_id", F.md5(F.upper(F.col("text"))).alias("text_hash"))
+    return a.subtract(b)  # EXCEPT DISTINCT semantics, matching the SQL
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _stream_workdir(sf_dir, name):
+    import shutil
+    from pathlib import Path
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    base = Path(f"/tmp/readability_stream/{sf}/{name}")
+    shutil.rmtree(base, ignore_errors=True)
+    (base / "input").mkdir(parents=True)
+    return base
+
+
+@_q(
+    "stream_extract_meta",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           'Daily Report Number ' || doc_id || ' Edition' AS title,
+           'Reporter ' || (doc_id % 20) AS byline,
+           'ExampleSite' AS site_name,
+           'ok' AS status
+    FROM documents
+    """,
+)
+def stream_extract_meta(spark, sf_dir):
+    """Structured Streaming ingestion (readability_spark/streaming): the
+    pages table lands as a file stream, the same vectorized extraction runs
+    on the unbounded DataFrame (Trigger.AvailableNow, checkpointed parquet
+    sink), and the drained output must match the batch oracle exactly —
+    streaming and batch are the same engine."""
+    from readability_spark.streaming import stream_extract_to_parquet
+
+    base = _stream_workdir(sf_dir, "extract")
+    read_pages(spark, sf_dir).write.mode("overwrite").parquet(str(base / "input"))
+    out = stream_extract_to_parquet(
+        spark, str(base / "input"), str(base / "output"), str(base / "checkpoint")
+    )
+    return out.select("url", "title", "byline", "site_name", "status")
+
+
+@_q(
+    "stream_windowed_counts",
+    """
+    SELECT date_trunc('hour', TIMESTAMP '2026-01-01 00:00:00'
+             + to_seconds(doc_id * 37)) AS window_start,
+           count(*) AS n_pages
+    FROM documents GROUP BY 1
+    """,
+)
+def stream_windowed_counts(spark, sf_dir):
+    """Watermarked tumbling-window rollup over the page stream (the
+    streaming metrics path; oracle recomputes the deterministic warc_ts
+    windows in closed form)."""
+    from readability_spark.streaming import run_windowed_counts_complete
+
+    base = _stream_workdir(sf_dir, "windowed")
+    read_pages(spark, sf_dir).write.mode("overwrite").parquet(str(base / "input"))
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return run_windowed_counts_complete(
+        spark, str(base / "input"), f"windowed_counts_{sf_tag}"
     )
 
 

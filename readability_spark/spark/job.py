@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 
 from ..options import DEFAULT_OPTIONS
 from ..pipeline import extract_row
+from .sources import append_ref, read_ref
 
 ARTICLE_FIELDS = [
     StructField("byline", StringType(), True),
@@ -177,7 +178,7 @@ class JobReport:
 
 def _read_lineage(spark, lineage_path):
     try:
-        return spark.read.parquet(lineage_path)
+        return read_ref(spark, lineage_path)
     except Exception:
         return None
 
@@ -218,9 +219,17 @@ def run_job(
     layout here is the sandbox stand-in.
     """
     t_start = time.time()
+    trace = os.environ.get("READABILITY_JOB_TRACE") == "1"
+
+    def _t(label, t0):
+        if trace:
+            print(f"JOB_TRACE {label}={time.time() - t0:.1f}s", flush=True)
+
     pages = with_partition_id(pages_df, num_partitions)
 
+    t0 = time.time()
     done = completed_partitions(spark, lineage_path, run_id)
+    _t("lineage_check", t0)
     todo = [p for p in range(num_partitions) if p not in done]
 
     groups = [
@@ -232,6 +241,7 @@ def run_job(
     processed = 0
 
     for group in groups:
+        t0 = time.time()
         started_at = pd.Timestamp.utcnow().tz_localize(None)
         subset = pages.filter(F.col("partition_id").isin(group))
         subset = with_salt(subset, salt_n)
@@ -239,16 +249,14 @@ def run_job(
         # salt) so hot domains spread while attribution stays logical
         subset = subset.repartition(len(group) * salt_n, "partition_id", "salt")
         extracted = extract_articles(subset.drop("salt"), options=options)
-        (
-            extracted.write.mode("append")
-            .partitionBy("partition_id")
-            .parquet(output_path)
-        )
+        append_ref(extracted, output_path, ("partition_id",))
+        _t("extract_write", t0)
         finished_at = pd.Timestamp.utcnow().tz_localize(None)
+        t0 = time.time()
 
         # cheap readback of just-written partitions for metrics (column-pruned
         # scan: status + extract_ms only)
-        written = spark.read.parquet(output_path).filter(
+        written = read_ref(spark, output_path).filter(
             F.col("partition_id").isin(group)
         )
         stats = (
@@ -286,9 +294,10 @@ def run_job(
             total_ok += ok
             total_failed += failed
             processed += 1
-        spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA).write.mode(
-            "append"
-        ).parquet(lineage_path)
+        _t("readback_stats", t0)
+        t0 = time.time()
+        append_ref(spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_path)
+        _t("lineage_write", t0)
 
     wall = time.time() - t_start
     return JobReport(

