@@ -110,6 +110,7 @@ def main():
     docs_per_sec = docs / wall if wall > 0 else 0.0
 
     bench_set = [
+        "extract_scored_text",
         "dedup_exact",
         "token_stats",
         "quality_score",
@@ -119,6 +120,11 @@ def main():
         "join_customer_orders",
         "events_hourly",
         "dedup_jaccard_pairs",
+        "minhash_lsh_pairs",
+        "simhash_fingerprint",
+        "embedding_near_dup",
+        "ann_ivf_topk",
+        "multimodal_features",
     ]
     allq = entrymod.queries()
     for name in bench_set:

@@ -21,12 +21,29 @@ ENGINE_CONF = {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Arrow exchange for pandas UDFs / mapInPandas (the only JVM<->Python copy)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # keep Python workers alive across tasks: without this every task forks a
+    # fresh worker and pays the pandas/pyarrow import (~0.6-2s per task —
+    # measured 25s -> 2.6s for a 64-task mapInPandas stage on local[8])
+    "spark.python.worker.reuse": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
     # fat binary rows: keep scan partitions moderate
     "spark.sql.files.maxPartitionBytes": "128m",
+    # fat rows also blow up the vectorized parquet reader: the default
+    # 4096-row column batch at ~25-100 KB/row is 100 MB-400 MB PER TASK
+    # (observed heap OOM at 32 concurrent scan tasks); 512 rows keeps a
+    # batch in the tens of MB and matches the Arrow exchange batch size
+    "spark.sql.parquet.columnarReaderBatchSize": "512",
     "spark.sql.shuffle.partitions": "32",
     # deterministic timestamps across engines
     "spark.sql.session.timeZone": "UTC",
+    # ParallelGC, not the G1 default: Arrow batches for fat rows are
+    # multi-MB short-lived buffers — humongous allocations under G1, which
+    # collapse throughput (measured 82s -> 56s on the 200k-page extraction
+    # job at local[32], and catastrophically worse at large heaps).
+    # NOTE: takes effect only when the driver JVM starts AFTER this conf is
+    # set (plain-python sessions); spark-submit callers must pass it as
+    # --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 
