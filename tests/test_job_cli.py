@@ -58,3 +58,40 @@ class TestSources:
         back = sources.read_ref(spark, ref)
         assert back.count() == 6
         assert set(back.columns) == {"id", "part"}
+
+
+class TestSingleDocCli:
+    """python -m readability_spark FILE — parity with the reference binary
+    (/root/reference/src/main.rs:12-34: print content, errors -> exit 1)."""
+
+    def test_prints_content(self, tmp_path, capsys):
+        from readability_spark.__main__ import main
+
+        f = tmp_path / "page.html"
+        f.write_text("<html><body><p>Hello.</p></body></html>", encoding="utf-8")
+        assert main([str(f)]) == 0
+        out = capsys.readouterr().out.strip()
+        assert out == "<html><head></head><body><p>Hello.</p></body></html>"
+
+    def test_json_mode_and_scored_flag(self, tmp_path, capsys):
+        import json
+
+        from readability_spark.__main__ import main
+
+        f = tmp_path / "page.html"
+        f.write_text(
+            "<html><head><title>T</title></head><body><div id='main-content'>"
+            + "<p>Prose, with commas, long enough to score as the top candidate here.</p>"
+            + "</div><div id='footer-junk'><a href='/'>x</a></div></body></html>",
+            encoding="utf-8",
+        )
+        assert main([str(f), "--json", "--scored", "--min-text-length", "0"]) == 0
+        d = json.loads(capsys.readouterr().out)
+        assert d["title"] == "T"
+        assert d["content"].startswith('<div id="readability-content">')
+
+    def test_missing_file_exits_1(self, capsys):
+        from readability_spark.__main__ import main
+
+        assert main(["/nonexistent.html"]) == 1
+        assert "error:" in capsys.readouterr().err
