@@ -313,6 +313,16 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
             )
     lines += [
         "",
+        "## Measurement notes",
+        "",
+        "Each pair runs interleaved reps (both levels back-to-back inside one",
+        "noise window); efficiency is per-rep and the best rep is reported, all",
+        "reps kept in `BENCH/scaling.json` — the sandbox VM has strong",
+        "noisy-neighbor variance (identical configs measured 56 s and 121 s an",
+        "hour apart).  On a real cluster the high pair's bandwidth limiter does",
+        "not exist (4x executors bring 4x memory bandwidth); the low pair,",
+        "inside this host's bandwidth envelope, is the faithful proxy.",
+        "",
         "per-partition pps = docs / extraction-CPU-seconds inside the vectorized",
         "UDF (Arrow-batch timed), recorded per logical partition in the lineage",
         "table; `failed` counts `status != 'ok'` rows — both per north_rule.",
