@@ -387,6 +387,26 @@ def fingerprint(spark, sf_dir):
 
 
 @_q(
+    "pdf_extract_text",
+    """
+    SELECT doc_id, text AS pdf_text, length(text) AS pdf_chars, 'ok' AS status
+    FROM documents
+    """,
+)
+def pdf_extract_text(spark, sf_dir):
+    """PDF text extraction end to end (readability_spark/pdftext.py): each
+    document becomes a real one-page PDF (FlateDecode-compressed for odd
+    doc_ids), parsed back by the pure-Python content-stream extractor in a
+    vectorized mapInPandas pass.  Round-trip equality with the source text
+    is the oracle."""
+    from readability_spark.spark.pdf import extract_pdf_pages, synthesize_pdfs
+
+    return extract_pdf_pages(synthesize_pdfs(_docs(spark, sf_dir))).select(
+        "doc_id", "pdf_text", "pdf_chars", "status"
+    )
+
+
+@_q(
     "multimodal_features",
     """
     SELECT doc_id,

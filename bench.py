@@ -125,6 +125,7 @@ def main():
         "embedding_near_dup",
         "ann_ivf_topk",
         "multimodal_features",
+        "pdf_extract_text",
     ]
     allq = entrymod.queries()
     for name in bench_set:
