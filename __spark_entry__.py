@@ -387,6 +387,52 @@ def fingerprint(spark, sf_dir):
 
 
 @_q(
+    "warc_extract_meta",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           'Daily Report Number ' || doc_id || ' Edition' AS title,
+           'Reporter ' || (doc_id % 20) AS byline,
+           'ok' AS status
+    FROM documents
+    """,
+)
+def warc_extract_meta(spark, sf_dir):
+    """Common-Crawl-native ingestion: the corpus is packaged as gzipped
+    WARC response records (readability_spark/spark/warc.py), read back via
+    the binaryFile-source connector (one task per archive), exploded to
+    pages, and run through the same extraction — oracle equality with the
+    parquet-sourced path proves the connector end to end."""
+    import shutil
+    from pathlib import Path
+
+    import pandas as pd
+
+    from readability_spark.spark.pages import page_url, synthesize_html
+    from readability_spark.spark.warc import build_warc, read_warc_pages
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    base = Path(f"/tmp/readability_warc/{sf}")
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+    n_files = 4
+    for part in range(n_files):
+        sub = docs[docs["doc_id"] % n_files == part]
+        records = [
+            (
+                "response",
+                page_url(r.doc_id, r.source),
+                "2026-03-01T00:00:00Z",
+                synthesize_html(r.doc_id, r.text, r.lang).encode("utf-8"),
+            )
+            for r in sub.itertuples()
+        ]
+        (base / f"crawl-{part}.warc.gz").write_bytes(build_warc(records, compress=True))
+    pages = read_warc_pages(spark, str(base))
+    return extract_articles(pages).select("url", "title", "byline", "status")
+
+
+@_q(
     "pdf_extract_text",
     """
     SELECT doc_id, text AS pdf_text, length(text) AS pdf_chars, 'ok' AS status

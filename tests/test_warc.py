@@ -1,0 +1,100 @@
+"""WARC source (readability_spark/spark/warc.py): parse, explode, extract."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from readability_spark.spark.warc import (
+    build_warc,
+    parse_warc,
+    read_warc_pages,
+    warc_to_page_rows,
+)
+
+RECORDS = [
+    ("warcinfo", None, "2026-03-01T00:00:00Z", b"software: test\r\n"),
+    (
+        "request",
+        "https://a.example.com/x.html",
+        "2026-03-01T00:00:01Z",
+        b"GET /x.html HTTP/1.1\r\n\r\n",
+    ),
+    (
+        "response",
+        "https://a.example.com/x.html",
+        "2026-03-01T00:00:01Z",
+        b"<html><head><title>A</title></head><body><p>Alpha page.</p></body></html>",
+    ),
+    (
+        "response",
+        "https://b.example.com/y.html",
+        "2026-03-01T00:00:02Z",
+        b"<html><body><p>Beta page.</p></body></html>",
+    ),
+]
+
+
+class TestParsing:
+    @pytest.mark.parametrize("compress", [False, True], ids=["plain", "gzip"])
+    def test_roundtrip(self, compress):
+        blob = build_warc(RECORDS, compress=compress)
+        parsed = list(parse_warc(blob))
+        assert len(parsed) == 4
+        assert [h["warc-type"] for h, _ in parsed] == [
+            "warcinfo", "request", "response", "response",
+        ]
+
+    def test_page_rows_filter_responses_and_strip_http(self):
+        rows = warc_to_page_rows(build_warc(RECORDS, compress=True))
+        assert [r[0] for r in rows] == [
+            "https://a.example.com/x.html",
+            "https://b.example.com/y.html",
+        ]
+        assert rows[0][2].startswith(b"<html>")  # HTTP headers stripped
+        assert str(rows[0][1]) == "2026-03-01 00:00:01"
+
+    def test_truncated_gzip_is_best_effort(self):
+        blob = build_warc(RECORDS, compress=True)
+        rows = warc_to_page_rows(blob[: len(blob) - 20])
+        assert len(rows) >= 1  # earlier intact members still parse
+
+
+class TestSparkWarc:
+    @pytest.fixture(scope="class")
+    def spark(self):
+        from readability_spark.spark.session import get_spark
+
+        spark = get_spark(app_name="warc-tests", master="local[2]", shuffle_partitions=2)
+        yield spark
+        spark.stop()
+
+    def test_read_and_extract_end_to_end(self, spark, tmp_path_factory):
+        from readability_spark.spark.job import extract_articles
+
+        d = tmp_path_factory.mktemp("warc")
+        (d / "crawl-0.warc.gz").write_bytes(build_warc(RECORDS, compress=True))
+        (d / "crawl-1.warc").write_bytes(
+            build_warc(
+                [
+                    (
+                        "response",
+                        "https://c.example.com/z.html",
+                        "2026-03-01T00:00:03Z",
+                        b"<html><head><title>C</title></head><body><p>Gamma.</p></body></html>",
+                    )
+                ]
+            )
+        )
+        pages = read_warc_pages(spark, str(d))
+        assert pages.count() == 3
+        out = {r.url: r for r in extract_articles(pages).collect()}
+        assert out["https://a.example.com/x.html"].title == "A"
+        assert out["https://a.example.com/x.html"].text_content == "AAlpha page."
+        assert out["https://b.example.com/y.html"].text_content == "Beta page."
+        assert out["https://c.example.com/z.html"].title == "C"
+        assert all(r.status == "ok" for r in out.values())
