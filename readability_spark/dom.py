@@ -65,6 +65,14 @@ _LIST_ITEM_SCOPE_STOP = frozenset(
 _TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
 
 
+# Global structural-revision counter: bumped by every tree/attr mutation so
+# the per-document flat-element cache (see select()) knows when to rebuild.
+# A module global is correct here because each Spark Python worker process
+# extracts documents sequentially; over-invalidation (another document's
+# mutation bumping it) only costs a rebuild, never staleness.
+_REV = 0
+
+
 class Node:
     """A DOM node.  ``attrs`` is an insertion-ordered dict which matches
     html5ever's Vec<Attribute> semantics: ``set_attr`` updates in place when
@@ -86,18 +94,24 @@ class Node:
     def append_child(self, child):
         """Append ``child`` as the last child, detaching it from any current
         parent first (mirrors dom_query NodeRef::append_child)."""
+        global _REV
+        _REV += 1
         if child.parent is not None:
             child.parent.children.remove(child)
         child.parent = self
         self.children.append(child)
 
     def remove_from_parent(self):
+        global _REV
+        _REV += 1
         if self.parent is not None:
             self.parent.children.remove(self)
             self.parent = None
 
     def replace_with(self, other):
         """Replace this node with ``other`` in the parent's child list."""
+        global _REV
+        _REV += 1
         parent = self.parent
         if parent is None:
             return
@@ -112,6 +126,8 @@ class Node:
 
     def insert_before(self, other, reference):
         """Insert ``other`` immediately before child ``reference``."""
+        global _REV
+        _REV += 1
         if other.parent is not None:
             other.parent.children.remove(other)
         idx = self.children.index(reference)
@@ -183,13 +199,21 @@ class Node:
         return self.attrs.get(name)
 
     def set_attr(self, name, value):
+        # attr selectors (tag[attr='v']) depend on attrs -> bump revision
+        global _REV
+        _REV += 1
         self.attrs[name] = value
 
     def remove_attrs(self, names):
+        global _REV
+        _REV += 1
         for name in names:
             self.attrs.pop(name, None)
 
     def rename(self, name):
+        # tag selectors depend on the name -> bump revision
+        global _REV
+        _REV += 1
         self.name = name
 
     # ----------------------------------------------------------------- preds
@@ -232,6 +256,11 @@ class _TreeBuilder(HTMLParser):
         self.stack = []  # open elements, excluding html/head/body bookkeeping
 
     # -------------------------------------------------------------- plumbing
+
+    def updatepos(self, i, j):
+        # line/offset bookkeeping is only consulted by getpos(), which this
+        # builder never calls; skipping it saves ~3% of parse time
+        return j
 
     def _current(self):
         return self.stack[-1] if self.stack else None
@@ -638,12 +667,41 @@ def matches(node, selector):
     return _matches_compiled(node, compile_selector(selector)[0])
 
 
+# Single-entry flat-element cache: (root, rev, elements-in-document-order).
+# Stages issue ~16 document-level selects per page but mutate the tree in
+# only ~8 of the 16 stages, so sharing one walk across the read-only spans
+# roughly halves tree-walk cost.  Callers always receive a fresh filtered
+# list, so snapshot-then-mutate iteration semantics are unchanged.
+_doc_cache = (None, -1, None)
+
+
+def _document_elements(root):
+    global _doc_cache
+    croot, crev, celems = _doc_cache
+    if croot is root and crev == _REV:
+        return celems
+    elems = []
+    stack = list(reversed(root.children))
+    while stack:
+        n = stack.pop()
+        if n.kind == ELEMENT:
+            elems.append(n)
+        if n.children:
+            stack.extend(reversed(n.children))
+    _doc_cache = (root, _REV, elems)
+    return elems
+
+
 def select(root, selector):
     """All descendant elements of ``root`` matching ``selector``, in document
-    order (dom_query Document/Selection::select).  Streams the tree walk
-    (no intermediate descendants list) and takes the set-lookup fast path
-    for bare-tag selectors — together ~2x on the per-document hot path."""
+    order (dom_query Document/Selection::select).  Document-level selects
+    filter the cached flat element list; subtree selects stream the walk."""
     alts, fast_tags = compile_selector(selector)
+    if root.kind == DOCUMENT:
+        elems = _document_elements(root)
+        if fast_tags is not None:
+            return [n for n in elems if n.name in fast_tags]
+        return [n for n in elems if _matches_compiled(n, alts)]
     out = []
     stack = list(reversed(root.children))
     if fast_tags is not None:
@@ -675,4 +733,6 @@ def select_first_attr(root, selector, name):
 def element_count(root):
     """Count of element nodes (reference Document::element_count,
     /root/reference/src/document.rs:18-26)."""
+    if root.kind == DOCUMENT:
+        return len(_document_elements(root))
     return sum(1 for n in root.descendants() if n.kind == ELEMENT)
