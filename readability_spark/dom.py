@@ -24,6 +24,9 @@ this subset (FIXTURES.md section 2).
 
 from __future__ import annotations
 
+import os
+import re as _re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 ELEMENT = 1
@@ -237,6 +240,35 @@ def new_text(data):
 
 # ============================================================== tree builder
 
+# Fast-tokenizer support regexes.  _STARTTAGOPEN matches the stdlib
+# ``starttagopen``; the SIMPLE patterns are strict subsets of the stdlib
+# tolerant tag grammar, so a fast-path hit parses identically.
+_STARTTAGOPEN = _re.compile("<[a-zA-Z]")
+_SIMPLE_START = _re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)\s*(/?)>")
+_SIMPLE_END = _re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+# Well-formed attribute-ful start tag: whitespace-separated name[=value]
+# attrs with plainly-quoted or bare values.  Strict subset of the stdlib
+# tolerant grammar (no '=+' runs, no '/' separators, no backtick/quote-mix
+# bare values), so a hit parses identically; anything else falls back.
+_ATTR_START = _re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s>'\"`=<]+))?)+)"
+    r"\s*(/?)>"
+)
+_ATTR_ITEM = _re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>'\"`=<]+))?"
+)
+# identical patterns to stdlib set_cdata_mode's per-call compile
+_CDATA_CLOSE = {
+    "script": _re.compile(r"</\s*script\s*>", _re.I),
+    "style": _re.compile(r"</\s*style\s*>", _re.I),
+}
+
+# escape hatch for differential testing (tests/test_dom_tokenizer_diff.py)
+_USE_STDLIB_TOKENIZER = os.environ.get("READABILITY_STDLIB_TOKENIZER") == "1"
+
 
 class _TreeBuilder(HTMLParser):
     """HTML5-subset tree construction on top of the stdlib tokenizer.
@@ -261,6 +293,123 @@ class _TreeBuilder(HTMLParser):
         # line/offset bookkeeping is only consulted by getpos(), which this
         # builder never calls; skipping it saves ~3% of parse time
         return j
+
+    def set_cdata_mode(self, elem):
+        # stdlib recompiles the close-tag regex per <script>/<style>; use
+        # the precompiled table (identical patterns)
+        self.cdata_elem = elem.lower()
+        self.interesting = _CDATA_CLOSE[self.cdata_elem]
+
+    def fast_feed(self, rawdata):
+        """Single-pass specialization of HTMLParser.feed()+close() for a
+        complete input string with convert_charrefs=True: produces the exact
+        same handler-call stream (differentially tested against the stdlib
+        path, see tests/test_dom_tokenizer_diff.py).  Fast paths cover text
+        runs and attribute-less start/end tags; every other construct
+        delegates to the inherited stdlib parse_* methods over the same
+        ``self.rawdata``, so tolerant-parsing edge cases stay bit-identical.
+        """
+        self.rawdata = rawdata
+        try:
+            i, n = 0, len(rawdata)
+            handle_data = self.handle_data
+            find = rawdata.find
+            startswith = rawdata.startswith
+            while i < n:
+                if self.cdata_elem is None:
+                    j = find("<", i)
+                    if j < 0:
+                        j = n
+                    if i < j:
+                        chunk = rawdata[i:j]
+                        handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                else:
+                    match = self.interesting.search(rawdata, i)
+                    if match is None:
+                        # unterminated raw text: stdlib drops the tail
+                        # (goahead end=1 skips the final flush in cdata mode)
+                        return
+                    j = match.start()
+                    if i < j:
+                        handle_data(rawdata[i:j])
+                i = j
+                if i == n:
+                    return
+                # rawdata[i] == '<'
+                if self.cdata_elem is None:
+                    m = _SIMPLE_START.match(rawdata, i)
+                    if m is not None:
+                        tag = m.group(1).lower()
+                        if m.group(2):
+                            self.handle_startendtag(tag, [])
+                        else:
+                            self.handle_starttag(tag, [])
+                            if tag in self.CDATA_CONTENT_ELEMENTS:
+                                self.set_cdata_mode(tag)
+                        i = m.end()
+                        continue
+                    m = _SIMPLE_END.match(rawdata, i)
+                    if m is not None:
+                        self.handle_endtag(m.group(1).lower())
+                        i = m.end()
+                        continue
+                    m = _ATTR_START.match(rawdata, i)
+                    if m is not None:
+                        tag = m.group(1).lower()
+                        attrs = []
+                        for am in _ATTR_ITEM.finditer(m.group(2)):
+                            value = am.group(2)
+                            if value is not None:
+                                if value[0] in "\"'":
+                                    value = value[1:-1]
+                                if value and "&" in value:
+                                    value = _unescape(value)
+                            attrs.append((am.group(1).lower(), value))
+                        if m.group(3):
+                            self.handle_startendtag(tag, attrs)
+                        else:
+                            self.handle_starttag(tag, attrs)
+                            if tag in self.CDATA_CONTENT_ELEMENTS:
+                                self.set_cdata_mode(tag)
+                        i = m.end()
+                        continue
+                if _STARTTAGOPEN.match(rawdata, i):
+                    k = self.parse_starttag(i)
+                elif startswith("</", i):
+                    k = self.parse_endtag(i)
+                elif startswith("<!--", i):
+                    k = self.parse_comment(i)
+                elif startswith("<?", i):
+                    k = self.parse_pi(i)
+                elif startswith("<!", i):
+                    k = self.parse_html_declaration(i)
+                elif i + 1 < n:
+                    handle_data("<")
+                    k = i + 1
+                else:
+                    break
+                if k < 0:
+                    # EOF recovery: HTMLParser.goahead(end=1) unterminated-
+                    # construct path
+                    k = find(">", i + 1)
+                    if k < 0:
+                        k = find("<", i + 1)
+                        if k < 0:
+                            k = i + 1
+                    else:
+                        k += 1
+                    if self.cdata_elem is None:
+                        chunk = rawdata[i:k]
+                        handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                    else:
+                        handle_data(rawdata[i:k])
+                i = k
+            if i < n and self.cdata_elem is None:
+                chunk = rawdata[i:n]
+                handle_data(_unescape(chunk) if "&" in chunk else chunk)
+        finally:
+            # close() must not re-tokenize via goahead(1)
+            self.rawdata = ""
 
     def _current(self):
         return self.stack[-1] if self.stack else None
@@ -533,7 +682,10 @@ def parse_document(html):
     # html5ever input-stream preprocessing
     html = html.replace("\r\n", "\n").replace("\r", "\n").replace("\x00", "�")
     builder = _TreeBuilder()
-    builder.feed(html)
+    if _USE_STDLIB_TOKENIZER:
+        builder.feed(html)
+    else:
+        builder.fast_feed(html)
     return builder.finish()
 
 
