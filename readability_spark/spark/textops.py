@@ -193,10 +193,21 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """All pairs with cosine >= threshold (brute force; callers bound the
     input — the scale path is ann_ivf_topk / LSH bucketing).  JVM-side
-    zip_with/aggregate dot products, no Python."""
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = _cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    zip_with/aggregate dot products, no Python.
+
+    Norms are computed once per row before the pair join (the naive form
+    recomputes sqrt(dot(v,v)) for both sides of every pair — 3x the
+    per-pair flops).  The cosine expression keeps the exact operation
+    order dot/(sqrt*sqrt), so results are bit-identical to the naive form.
+    """
+    normed = emb.select(
+        F.col(id_col), F.col(vec_col), F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
@@ -212,27 +223,38 @@ def ivf_assign(
     emb: DataFrame, centroids: DataFrame, id_col="vec_id", vec_col="embedding"
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
-    ``centroids`` must be small — it is broadcast; assignment is a single
-    narrow pass over the big side (no shuffle of the vectors)."""
-    c = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+
+    ``centroids`` must be small by contract (the coarse codebook) — they are
+    collected to the driver and inlined as an array literal, so assignment
+    is a pure narrow projection over the big side: NO crossJoin row blowup,
+    NO shuffle, NO argmax groupBy.  At 10^12-row scale this is the
+    difference between a map stage and shuffling the whole corpus.
+
+    Deterministic tie-break: higher cosine wins, then lower centroid_id
+    (same ordering as max-over-struct(ccos, -centroid_id))."""
+    crows = centroids.select(id_col, vec_col).collect()
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r[0])).cast("long").alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
+            )
+            for r in crows
+        ]
     )
-    cos = _cosine(F.col(vec_col), F.col("cvec"))
-    scored = emb.crossJoin(F.broadcast(c)).select(
-        id_col, vec_col, "centroid_id", cos.alias("ccos")
-    )
-    # deterministic argmax: max (cos, -centroid_id) struct
-    best = scored.groupBy(id_col).agg(
-        F.max(F.struct(F.col("ccos"), (-F.col("centroid_id")).alias("neg"))).alias("m")
-    )
-    return (
-        scored.join(best, id_col)
-        .filter(
-            (F.col("ccos") == F.col("m.ccos"))
-            & (F.col("centroid_id") == -F.col("m.neg"))
+    # argmax = array_max over (cosine, -cid) structs: struct ordering gives
+    # highest cosine first, then lowest centroid_id — the same tie-break as
+    # max-over-struct(ccos, -centroid_id), with a shallow expression tree
+    best = F.array_max(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                _cosine(F.col(vec_col), c["cvec"]).alias("cc"),
+                (-c["cid"]).alias("neg"),
+            ),
         )
-        .select(id_col, vec_col, "centroid_id")
     )
+    return emb.select(id_col, vec_col, (-best["neg"]).alias("centroid_id"))
 
 
 def ann_ivf_topk(
