@@ -163,6 +163,28 @@ def extract_scored_text(spark, sf_dir):
     )
 
 
+@_q(
+    "readerable_flags",
+    f"""
+    WITH flags AS (
+      SELECT {_SQL_URL} AS url,
+             CASE WHEN length(trim(text)) >= 140
+                  THEN sqrt(length(trim(text)) - 140) ELSE 0.0 END AS s
+      FROM documents)
+    SELECT url, s > 20 AS readerable, round(s, 4) AS readerable_score
+    FROM flags
+    """,
+)
+def readerable_flags_q(spark, sf_dir):
+    """mozilla isProbablyReaderable over the pages table (readability_spark/
+    readerable.py).  On the contract page the only scoring candidate is the
+    article <p> (the closing <p> is under 140 chars), so the early-exit
+    score is closed-form: sqrt(len(trim(text)) - 140) when long enough."""
+    from readability_spark.spark.job import readerable_flags
+
+    return readerable_flags(read_pages(spark, sf_dir))
+
+
 # ------------------------------------------------------------ dedup family
 
 

@@ -31,6 +31,11 @@ class Options:
     #: n_top_candidates / preserved_classes, which the reference declares but
     #: never reads (SURVEY.md section 0).
     content_extraction: bool = False
+    #: our extension: opt into mozilla's fixRelativeUris pass (urifix.py) —
+    #: resolves link/media URIs in the content against the (otherwise
+    #: ignored, /root/reference/src/pipeline.rs:30) base_url. Off by default
+    #: so default output stays byte-identical to the reference.
+    fix_relative_uris: bool = False
 
 
 DEFAULT_OPTIONS = Options()

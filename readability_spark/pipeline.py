@@ -46,8 +46,10 @@ def extract(html, base_url=None, options=None):
 
     Public surface mirroring Readability::new(html, base_url, options).parse()
     (/root/reference/src/readability.rs:15-36).  ``base_url`` is accepted for
-    API parity but unused, exactly like the reference
-    (/root/reference/src/pipeline.rs:30 ignores it).
+    API parity and — matching the reference (/root/reference/src/
+    pipeline.rs:30 ignores it) — unused by default; with
+    ``Options(fix_relative_uris=True)`` it feeds the opt-in mozilla
+    fixRelativeUris pass (urifix.py).
     """
     options = options or DEFAULT_OPTIONS
     document = dom.parse_document(html)
@@ -61,6 +63,10 @@ def extract(html, base_url=None, options=None):
         selected = grab_article(document, options)
         if selected is not None:
             content_root = selected
+    if options.fix_relative_uris and base_url is not None:
+        from .urifix import fix_relative_uris
+
+        fix_relative_uris(content_root, base_url, document=document)
     text_content = content_root.text()
     return Article(
         byline=ctx.metadata.byline,
@@ -76,7 +82,7 @@ def extract(html, base_url=None, options=None):
     )
 
 
-def extract_row(html, options=None):
+def extract_row(html, options=None, base_url=None):
     """Failure-isolating wrapper for batch execution: returns
     ``(article_or_none, status, error)``.  A failed row must never kill the
     Arrow batch (SURVEY.md section 1.2).  Empty / undecodable input is
@@ -89,7 +95,7 @@ def extract_row(html, options=None):
             html = bytes(html).decode("utf-8")  # may raise UnicodeDecodeError
         if not html.strip():
             return None, "error", "empty document"
-        return extract(html, options=options), "ok", None
+        return extract(html, base_url=base_url, options=options), "ok", None
     except ExtractionError as exc:
         return None, "error", str(exc)
     except Exception as exc:  # defensive: never crash the batch

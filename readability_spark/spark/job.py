@@ -31,6 +31,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -102,13 +103,18 @@ def _output_schema(input_schema, html_col, keep_html):
     return StructType(passthrough + ARTICLE_FIELDS + STATUS_FIELDS)
 
 
-def extract_articles(df: DataFrame, options=None, html_col="html", keep_html=False) -> DataFrame:
+def extract_articles(
+    df: DataFrame, options=None, html_col="html", keep_html=False, base_url_col=None
+) -> DataFrame:
     """Add the Article columns to a pages DataFrame.
 
     Library surface mirroring Readability::parse at dataset scale
     (/root/reference/src/readability.rs:38-63): one vectorized
     ``mapInPandas`` pass; per-row failures become status/error columns,
     never exceptions (a failed document must not kill the Arrow batch).
+
+    ``base_url_col`` (e.g. ``"url"``) supplies each row's document URI to
+    the opt-in fixRelativeUris pass (Options(fix_relative_uris=True)).
     """
     options = options or DEFAULT_OPTIONS
     out_schema = _output_schema(df.schema, html_col, keep_html)
@@ -119,9 +125,14 @@ def extract_articles(df: DataFrame, options=None, html_col="html", keep_html=Fal
         for pdf in batches:
             rows = {name: [] for name in _ARTICLE_COL_NAMES}
             statuses, errors, timings = [], [], []
-            for raw in pdf[html_col]:
+            bases = pdf[base_url_col] if base_url_col is not None else None
+            for idx, raw in enumerate(pdf[html_col]):
                 t0 = time.perf_counter()
-                article, status, error = extract_row(raw, options=options)
+                article, status, error = extract_row(
+                    raw,
+                    options=options,
+                    base_url=None if bases is None else bases.iloc[idx],
+                )
                 timings.append((time.perf_counter() - t0) * 1000.0)
                 statuses.append(status)
                 errors.append(error)
@@ -141,6 +152,45 @@ def extract_articles(df: DataFrame, options=None, html_col="html", keep_html=Fal
             yield out[out_cols]
 
     return df.mapInPandas(run_batches, schema=out_schema)
+
+
+READERABLE_SCHEMA_FIELDS = [
+    StructField("readerable", BooleanType(), True),
+    StructField("readerable_score", DoubleType(), True),
+]
+
+
+def readerable_flags(df: DataFrame, html_col="html", url_col="url") -> DataFrame:
+    """mozilla isProbablyReaderable over a pages DataFrame: (url, readerable,
+    readerable_score) per page, vectorized mapInPandas (no per-row Python at
+    the Spark API level).  Semantics: readability_spark/readerable.py; the
+    score is the early-exit accumulated value, rounded to 4 for portability.
+    """
+    from readability_spark.readerable import is_probably_readerable
+
+    out_schema = StructType(
+        [df.schema[url_col]] + READERABLE_SCHEMA_FIELDS
+    )
+
+    def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flags, scores = [], []
+            for raw in pdf[html_col]:
+                try:
+                    ok, score = is_probably_readerable(raw)
+                except Exception:  # undecodable html: not readerable
+                    ok, score = None, None
+                flags.append(ok)
+                scores.append(None if score is None else round(score, 4))
+            yield pd.DataFrame(
+                {
+                    url_col: pdf[url_col],
+                    "readerable": pd.array(flags, dtype="boolean"),
+                    "readerable_score": pd.array(scores, dtype="Float64"),
+                }
+            )
+
+    return df.select(url_col, html_col).mapInPandas(run_batches, schema=out_schema)
 
 
 def with_partition_id(df: DataFrame, num_partitions: int, url_col="url") -> DataFrame:

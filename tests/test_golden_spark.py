@@ -182,3 +182,44 @@ def test_scored_extraction_matches_local_golden(spark, pages_df, fixture_rows):
             if getattr(have, col) != getattr(want_article, col):
                 mismatches.append((r.url, col))
     assert not mismatches, f"{len(mismatches)} mismatches, first: {mismatches[:3]}"
+
+
+def test_fix_relative_uris_spark_plumbing(spark, pages_df, fixture_rows):
+    """extract_articles(base_url_col='url', fix_relative_uris=True) resolves
+    each row's URIs against that row's own url, byte-identical to the local
+    extractor given the same base."""
+    from readability_spark.options import Options
+    from readability_spark.pipeline import extract_row
+
+    opts = Options(fix_relative_uris=True)
+    got = {
+        r.url: r
+        for r in extract_articles(pages_df, options=opts, base_url_col="url").collect()
+    }
+    checked = 0
+    for r in fixture_rows[:50]:
+        want_article, want_status, _ = extract_row(r.html, options=opts, base_url=r.url)
+        have = got[r.url]
+        assert have.status == want_status
+        if want_article is not None:
+            assert have.content == want_article.content
+            checked += 1
+    assert checked > 0
+
+
+def test_readerable_flags_spark(spark, pages_df):
+    """readerable_flags agrees with the local is_probably_readerable and
+    yields one row per input url."""
+    from readability_spark.readerable import is_probably_readerable
+    from readability_spark.spark.job import readerable_flags
+
+    rows = readerable_flags(pages_df).collect()
+    assert len(rows) == pages_df.count()
+    html_by_url = {r["url"]: r["html"] for r in pages_df.select("url", "html").collect()}
+    for row in rows[:50]:
+        try:
+            ok, score = is_probably_readerable(html_by_url[row.url])
+            ok, score = ok, round(score, 4)
+        except Exception:
+            ok, score = None, None
+        assert (row.readerable, row.readerable_score) == (ok, score)
