@@ -298,7 +298,12 @@ def run_job(
         # physical partitioning: one shuffle, keyed by (logical partition,
         # salt) so hot domains spread while attribution stays logical
         subset = subset.repartition(len(group) * salt_n, "partition_id", "salt")
-        extracted = extract_articles(subset.drop("salt"), options=options)
+        extracted = extract_articles(
+            subset.drop("salt"),
+            options=options,
+            # fixRelativeUris resolves against each row's own url
+            base_url_col="url" if options is not None and options.fix_relative_uris else None,
+        )
         append_ref(extracted, output_path, ("partition_id",))
         _t("extract_write", t0)
         finished_at = pd.Timestamp.utcnow().tz_localize(None)

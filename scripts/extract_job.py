@@ -41,6 +41,21 @@ def parse_args(argv):
     p.add_argument("--commit-groups", type=int, default=2)
     p.add_argument("--report-json", default=None, help="also write the report to this file")
     p.add_argument(
+        "--content-extraction",
+        action="store_true",
+        help="enable the Arc90 candidate-scoring pass (Options(content_extraction=True))",
+    )
+    p.add_argument(
+        "--fix-relative-uris",
+        action="store_true",
+        help="resolve link/media URIs against each row's url "
+        "(Options(fix_relative_uris=True), mozilla fixRelativeUris semantics)",
+    )
+    p.add_argument(
+        "--min-text-length", type=int, default=None,
+        help="scoring-pass minimum candidate text length (default: reference's 500)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="run a small untimed extraction first so every Python worker has "
@@ -75,6 +90,18 @@ def main(argv=None):
         warm = read_ref(spark, args.input).limit(cores * 64).repartition(cores * 2)
         extract_articles(warm).agg(F.count(F.lit(1))).collect()
 
+    options = None
+    if args.content_extraction or args.fix_relative_uris or args.min_text_length is not None:
+        from readability_spark.options import Options
+
+        kwargs = {
+            "content_extraction": args.content_extraction,
+            "fix_relative_uris": args.fix_relative_uris,
+        }
+        if args.min_text_length is not None:
+            kwargs["min_text_length"] = args.min_text_length
+        options = Options(**kwargs)
+
     t0 = time.time()
     pages = read_ref(spark, args.input)
     report = run_job(
@@ -86,6 +113,7 @@ def main(argv=None):
         num_partitions=args.num_partitions,
         salt_n=args.salt_n,
         commit_groups=args.commit_groups,
+        options=options,
     )
     wall = time.time() - t0
 
