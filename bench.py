@@ -126,6 +126,7 @@ def main():
         "ann_ivf_topk",
         "multimodal_features",
         "pdf_extract_text",
+        "readerable_flags",
     ]
     allq = entrymod.queries()
     for name in bench_set:
