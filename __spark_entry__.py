@@ -654,6 +654,89 @@ def topk_longest_per_domain(spark, sf_dir):
 
 
 @_q(
+    "latest_snapshot_per_url",
+    f"""
+    WITH snaps AS (
+      SELECT {_SQL_URL} AS url,
+             TIMESTAMP '2026-01-01' + INTERVAL (doc_id * 37) SECOND
+               + INTERVAL (rev.rev * 604800) SECOND AS warc_ts,
+             rev.rev AS snapshot_rev
+      FROM documents, (SELECT unnest([0, 1, 2]) AS rev) rev
+    )
+    SELECT url, warc_ts, snapshot_rev FROM (
+      SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM snaps) WHERE rn = 1
+    """,
+)
+def latest_snapshot_per_url(spark, sf_dir):
+    """Crawl-snapshot dedup: keep only the newest capture of each url.
+
+    Common Crawl re-crawls pages across archives; the canonical
+    training-data prep step keeps max(warc_ts) per url.  Three
+    deterministic snapshot revisions (+0/+1/+2 weeks) are synthesized per
+    page, then a row_number window over (url ORDER BY warc_ts DESC) picks
+    the latest — the as-of/latest-version pattern.  At scale the window
+    shuffle partitions on url (same key as the extraction partitioning,
+    so Iceberg bucket(url) co-locates it shuffle-free)."""
+    from pyspark.sql import Window
+
+    pages = read_pages(spark, sf_dir).select("url", "warc_ts")
+    revs = spark.range(3).select(F.col("id").cast("int").alias("snapshot_rev"))
+    snaps = pages.crossJoin(revs).select(
+        "url",
+        (
+            F.col("warc_ts")
+            + F.make_interval(secs=F.col("snapshot_rev").cast("long") * 604800)
+        ).alias("warc_ts"),
+        "snapshot_rev",
+    )
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        snaps.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("url", "warc_ts", "snapshot_rev")
+    )
+
+
+@_q(
+    "crawl_cube_stats",
+    """
+    SELECT coalesce((case when doc_id % 10 < 4 then 'hot' else source end) || '.example.com',
+                    'ALL') AS domain,
+           coalesce(nullif(trim(lang), ''), 'ALL') AS lang_group,
+           count(*) AS n_pages,
+           sum(length(text)) AS n_chars
+    FROM documents
+    GROUP BY CUBE ((case when doc_id % 10 < 4 then 'hot' else source end) || '.example.com',
+                   nullif(trim(lang), ''))
+    """,
+)
+def crawl_cube_stats(spark, sf_dir):
+    """Grouping-sets coverage: page/char counts by (domain, lang) with all
+    cube margins — the crawl-composition report (per-domain, per-language,
+    and grand totals in one shuffle).  NULL group keys are labeled 'ALL'
+    so margin rows are distinguishable portably."""
+    docs = _docs(spark, sf_dir).select(
+        F.concat(
+            F.when(F.col("doc_id") % 10 < 4, F.lit("hot")).otherwise(F.col("source")),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        F.nullif(F.trim(F.col("lang")), F.lit("")).alias("lang_group"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        docs.cube("domain", "lang_group")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_chars").alias("n_chars"))
+        .select(
+            F.coalesce(F.col("domain"), F.lit("ALL")).alias("domain"),
+            F.coalesce(F.col("lang_group"), F.lit("ALL")).alias("lang_group"),
+            "n_pages",
+            "n_chars",
+        )
+    )
+
+
+@_q(
     "except_regression_diff",
     """
     SELECT doc_id, md5(text) AS text_hash FROM documents
