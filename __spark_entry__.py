@@ -455,6 +455,60 @@ def warc_extract_meta(spark, sf_dir):
 
 
 @_q(
+    "wet_text_stats",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           length(text) AS n_chars,
+           nullif(trim(lang), '') AS lang
+    FROM documents
+    """,
+)
+def wet_text_stats(spark, sf_dir):
+    """WET-tier ingestion: the corpus packaged as gzipped WET ``conversion``
+    records (crawl-extracted plain text + identified language header), read
+    back via the binaryFile connector and fed straight to the text-side
+    stats — the no-HTML-parse fast path.  Oracle equality with the parquet
+    documents proves the WET connector end to end."""
+    import shutil
+    from pathlib import Path
+
+    import pandas as pd
+
+    from readability_spark.spark.pages import page_url
+    from readability_spark.spark.warc import build_warc, read_wet_documents
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    base = Path(f"/tmp/readability_wet/{sf}")
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    n_files = 4
+    for part in range(n_files):
+        sub = docs[docs["doc_id"] % n_files == part]
+        records = [
+            (
+                "conversion",
+                page_url(r.doc_id, r.source),
+                "2026-03-01T00:00:00Z",
+                r.text.encode("utf-8"),
+                {"WARC-Identified-Content-Language": r.lang}
+                if isinstance(r.lang, str) and r.lang.strip()
+                else {},
+            )
+            for r in sub.itertuples()
+        ]
+        (base / f"crawl-{part}.warc.wet.gz").write_bytes(build_warc(records, compress=True))
+    wet = read_wet_documents(spark, str(base))
+    return wet.select(
+        "url",
+        F.length("text").alias("n_chars"),
+        F.nullif(F.trim(F.col("lang")), F.lit("")).alias("lang"),
+    )
+
+
+@_q(
     "pdf_extract_text",
     """
     SELECT doc_id, text AS pdf_text, length(text) AS pdf_chars, 'ok' AS status

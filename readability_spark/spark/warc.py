@@ -123,14 +123,75 @@ def read_warc_pages(spark, path) -> DataFrame:
     return files.mapInPandas(explode, schema=PAGES_SCHEMA)
 
 
+def wet_to_document_rows(data: bytes):
+    """(url, warc_ts, text, lang) tuples for every ``conversion`` record.
+
+    WET archives are WARC containers whose ``conversion`` records hold the
+    crawl's pre-extracted plain text (Content-Type text/plain, no HTTP
+    envelope); ``WARC-Identified-Content-Language`` carries a
+    comma-separated language list — the primary one is kept."""
+    rows = []
+    for headers, payload in parse_warc(data):
+        if headers.get("warc-type") != "conversion":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = headers.get("warc-date")
+        langs = headers.get("warc-identified-content-language")
+        rows.append(
+            (
+                url,
+                pd.to_datetime(ts).tz_localize(None) if ts else None,
+                payload.decode("utf-8", errors="replace"),
+                langs.split(",")[0].strip() if langs else None,
+            )
+        )
+    return rows
+
+
+def read_wet_documents(spark, path) -> DataFrame:
+    """WET file(s) -> (url, warc_ts, text, lang) DataFrame.
+
+    Same distribution model as read_warc_pages: one binaryFile row per
+    archive -> one parse task, records exploded in mapInPandas.  This is
+    the text-tier ingest: when the crawl's own extraction suffices, the
+    HTML parse is skipped entirely and the text feeds the dedup/quality/
+    lang-id operators directly."""
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    schema = StructType(
+        [
+            StructField("url", StringType(), False),
+            StructField("warc_ts", TimestampType(), True),
+            StructField("text", StringType(), True),
+            StructField("lang", StringType(), True),
+        ]
+    )
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(wet_to_document_rows(bytes(blob)))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text", "lang"])
+
+    return files.mapInPandas(explode, schema=schema)
+
+
 # ------------------------------------------------------------- test support
 
 
 def build_warc(records, compress=False) -> bytes:
-    """Build a WARC file for tests: records = [(type, url, date, html_bytes)].
-    ``response`` records wrap the html in a minimal HTTP response."""
+    """Build a WARC file for tests: records = [(type, url, date, payload)]
+    or [(type, url, date, payload, extra_headers_dict)].  ``response``
+    records wrap the payload in a minimal HTTP response; other types
+    (e.g. WET ``conversion``) carry it verbatim."""
     out = bytearray()
-    for rec_type, url, date, html in records:
+    for rec in records:
+        rec_type, url, date, html = rec[:4]
+        extra = rec[4] if len(rec) > 4 else {}
         if rec_type == "response":
             payload = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
@@ -145,6 +206,8 @@ def build_warc(records, compress=False) -> bytes:
         ]
         if url:
             head.append(b"WARC-Target-URI: " + url.encode())
+        for name, value in extra.items():
+            head.append(f"{name}: {value}".encode())
         head.append(b"Content-Length: %d" % len(payload))
         member = b"\r\n".join(head) + b"\r\n\r\n" + payload + b"\r\n\r\n"
         if compress:

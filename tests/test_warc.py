@@ -98,3 +98,67 @@ class TestSparkWarc:
         assert out["https://b.example.com/y.html"].text_content == "Beta page."
         assert out["https://c.example.com/z.html"].title == "C"
         assert all(r.status == "ok" for r in out.values())
+
+
+def test_wet_rows_local():
+    from readability_spark.spark.warc import wet_to_document_rows
+
+    data = build_warc(
+        [
+            (
+                "conversion",
+                "https://a.example.com/x.html",
+                "2026-03-01T00:00:01Z",
+                "Alpha text.\nSecond line.".encode(),
+                {"WARC-Identified-Content-Language": "eng,deu"},
+            ),
+            # warcinfo/request records are skipped
+            ("warcinfo", None, "2026-03-01T00:00:00Z", b"software: test"),
+            (
+                "conversion",
+                "https://b.example.com/y.html",
+                "2026-03-01T00:00:02Z",
+                "Beta.".encode(),
+            ),
+        ],
+        compress=True,
+    )
+    rows = wet_to_document_rows(data)
+    assert len(rows) == 2
+    url, ts, text, lang = rows[0]
+    assert url == "https://a.example.com/x.html"
+    assert text == "Alpha text.\nSecond line."
+    assert lang == "eng"  # primary language of the comma list
+    assert rows[1][2] == "Beta."
+    assert rows[1][3] is None
+
+
+class TestWetSpark:
+    def test_read_wet_documents(self, tmp_path_factory):
+        from readability_spark.spark.session import get_spark
+        from readability_spark.spark.warc import read_wet_documents
+
+        spark = get_spark(app_name="wet-tests", master="local[2]", shuffle_partitions=2)
+        try:
+            d = tmp_path_factory.mktemp("wet")
+            (d / "part-0.warc.wet.gz").write_bytes(
+                build_warc(
+                    [
+                        (
+                            "conversion",
+                            "https://a.example.com/x.html",
+                            "2026-03-01T00:00:01Z",
+                            b"Alpha text.",
+                            {"WARC-Identified-Content-Language": "eng"},
+                        )
+                    ],
+                    compress=True,
+                )
+            )
+            rows = read_wet_documents(spark, str(d)).collect()
+            assert len(rows) == 1
+            assert rows[0].url == "https://a.example.com/x.html"
+            assert rows[0].text == "Alpha text."
+            assert rows[0].lang == "eng"
+        finally:
+            spark.stop()
