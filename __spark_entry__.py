@@ -871,6 +871,60 @@ def stream_windowed_counts(spark, sf_dir):
     )
 
 
+@_q(
+    "stream_domain_sessions",
+    """
+    WITH pages AS (
+      SELECT (case when doc_id % 10 < 4 then 'hot' else source end) || '.example.com' AS domain,
+             doc_id * 37 AS epoch
+      FROM documents
+    ),
+    marks AS (
+      SELECT domain, epoch,
+             CASE WHEN lag(epoch) OVER w IS NULL
+                       OR epoch - lag(epoch) OVER w > 120 THEN 1 ELSE 0 END AS new_s
+      FROM pages WINDOW w AS (PARTITION BY domain ORDER BY epoch)
+    ),
+    sess AS (
+      SELECT domain, epoch,
+             sum(new_s) OVER (PARTITION BY domain ORDER BY epoch) AS sid
+      FROM marks
+    )
+    SELECT domain, min(epoch) AS session_start, max(epoch) AS session_end,
+           count(*) AS n_pages
+    FROM sess GROUP BY domain, sid
+    """,
+)
+def stream_domain_sessions(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    crawl sessionization per domain.  Event time = the deterministic epoch
+    seconds behind warc_ts; a far-future sentinel event per domain flushes
+    the final open sessions so the streamed result equals the closed-form
+    batch sessionization (lag-window oracle) exactly."""
+    from readability_spark.streaming.stream import run_domain_sessions
+
+    base = _stream_workdir(sf_dir, "sessions")
+    # deterministic epoch: warc_ts = 2026-01-01 + doc_id*37s -> epoch = doc_id*37
+    # (difference of two unix_timestamps cancels the session timezone)
+    pages = read_pages(spark, sf_dir).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("domain"),
+        (
+            F.unix_timestamp("warc_ts")
+            - F.unix_timestamp(F.lit("2026-01-01 00:00:00").cast("timestamp"))
+        ).alias("epoch"),
+    )
+    sentinels = pages.select("domain").distinct().select(
+        "domain", F.lit(10_000_000_000).alias("epoch")
+    )
+    pages.select("domain", "epoch").union(sentinels).write.mode("overwrite").parquet(
+        str(base / "input")
+    )
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    out = run_domain_sessions(spark, str(base / "input"), f"domain_sessions_{sf_tag}")
+    # the sentinel's own session stays open in state and is never emitted
+    return out
+
+
 # ------------------------------------------------ relational / metrics ops
 
 

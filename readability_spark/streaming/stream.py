@@ -73,3 +73,101 @@ def run_windowed_counts_complete(spark, input_dir, query_name, timeout_secs=600)
     )
     query.awaitTermination(timeout_secs)
     return spark.table(query_name)
+
+
+def domain_sessions(pages_stream, gap_seconds=120):
+    """Custom stateful streaming operator: per-domain crawl sessionization
+    via ``applyInPandasWithState`` (the engine's arbitrary-state surface —
+    windowed aggs cover only fixed windows; session boundaries depend on
+    data gaps, which needs explicit state).
+
+    Input stream schema: ``(domain STRING, epoch LONG)`` (event time as
+    epoch seconds — the deterministic form of ``warc_ts``).  State per
+    domain: the open session ``(start, last, n)``.  A session CLOSES when a
+    later event for the same domain arrives more than ``gap_seconds`` after
+    the previous one (data-driven closure); the still-open session stays in
+    state unemitted.  Callers that need end-of-input flushing append a
+    far-future sentinel event per domain (and production deployments use a
+    watermark + EventTimeTimeout instead — same function body, timeout
+    branch closing the open session).
+
+    Emits ``(domain, session_start, session_end, n_pages)`` per closed
+    session, in append mode.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("domain", StringType(), False),
+            StructField("session_start", LongType(), False),
+            StructField("session_end", LongType(), False),
+            StructField("n_pages", LongType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start", LongType(), False),
+            StructField("last", LongType(), False),
+            StructField("n", LongType(), False),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        domain = key[0]
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        ts = []
+        for pdf in pdfs:
+            ts.extend(int(t) for t in pdf["epoch"])
+        ts.sort()
+        for t in ts:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((domain, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last = t
+                n += 1
+        if start is not None:
+            state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["domain", "session_start", "session_end", "n_pages"]
+            )
+
+    return pages_stream.groupBy("domain").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_domain_sessions(spark, input_dir, query_name, gap_seconds=120, timeout_secs=600):
+    """Drain a (domain, epoch) parquet dir through the sessionizer
+    (memory sink, append mode, AvailableNow) and return the closed-session
+    DataFrame."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("domain", StringType(), False),
+            StructField("epoch", LongType(), False),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    sessions = domain_sessions(stream, gap_seconds=gap_seconds)
+    query = (
+        sessions.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_secs)
+    return spark.table(query_name)

@@ -212,3 +212,38 @@ class TestStreaming:
         rows = counts.collect()
         assert len(rows) == 1 and rows[0].n_pages == 5
         assert str(rows[0].window_start) == "2026-01-01 00:00:00"
+
+
+class TestDomainSessions:
+    def test_gap_sessionization_with_sentinel_flush(self, spark, tmp_path_factory):
+        from readability_spark.streaming.stream import run_domain_sessions
+
+        d = tmp_path_factory.mktemp("sessions")
+        rows = [
+            # domain a: two sessions (gap 500 > 120 between 200 and 700)
+            ("a.example.com", 100),
+            ("a.example.com", 150),
+            ("a.example.com", 200),
+            ("a.example.com", 700),
+            ("a.example.com", 750),
+            # domain b: one session
+            ("b.example.com", 100),
+            # sentinels flush the final open sessions
+            ("a.example.com", 10_000_000_000),
+            ("b.example.com", 10_000_000_000),
+        ]
+        spark.createDataFrame(rows, "domain string, epoch long").write.parquet(
+            str(d / "input")
+        )
+        out = run_domain_sessions(
+            spark, str(d / "input"), "test_domain_sessions", gap_seconds=120
+        )
+        got = {
+            (r.domain, r.session_start): (r.session_end, r.n_pages)
+            for r in out.collect()
+        }
+        assert got == {
+            ("a.example.com", 100): (200, 3),
+            ("a.example.com", 700): (750, 2),
+            ("b.example.com", 100): (100, 1),
+        }
