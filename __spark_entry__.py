@@ -267,9 +267,18 @@ def dedup_jaccard_pairs(spark, sf_dir):
     """
     WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND trim(text) != ''),
     tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    minh0 AS (
+      SELECT doc_id, a,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 1, 8))  AS m0,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 9, 8))  AS m1,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 17, 8)) AS m2,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 25, 8)) AS m3
+      FROM tok, range(4) r(a) GROUP BY doc_id, a
+    ),
     minh AS (
-      SELECT doc_id, k, min(md5(cast(k AS varchar) || ':' || token)) AS mh
-      FROM tok, range(16) r(k) GROUP BY doc_id, k
+      SELECT doc_id, a * 4 + lb.b AS k,
+             CASE lb.b WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS mh
+      FROM minh0, range(4) lb(b)
     ),
     bands AS (
       SELECT doc_id, cast(k // 4 AS int) AS band,
