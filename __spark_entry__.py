@@ -321,10 +321,13 @@ def minhash_lsh_pairs(spark, sf_dir):
     """
     WITH docs AS (SELECT doc_id, text FROM documents WHERE trim(text) != ''),
     tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    tokh AS (SELECT doc_id, md5(token) AS h FROM tok),
     votes AS (
       SELECT doc_id, b,
-             sum((ascii(substr(md5(cast(b AS varchar) || ':' || token), 1, 1)) % 2) * 2 - 1) AS v
-      FROM tok, range(32) r(b) GROUP BY doc_id, b
+             sum((((strpos('0123456789abcdef', substr(h, CAST(1 + b // 4 AS INT), 1)) - 1)
+                   // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2)
+                 * 2 - 1) AS v
+      FROM tokh, range(32) r(b) GROUP BY doc_id, b
     )
     SELECT doc_id,
            string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash

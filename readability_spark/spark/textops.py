@@ -153,50 +153,34 @@ def minhash_lsh_pairs(
 def simhash(docs: DataFrame, bits=32, id_col="doc_id", text_col="text") -> DataFrame:
     """(id, simhash): ``bits``-character bit-string fingerprint.
 
-    Per bit b, every token votes +-1 by the parity of the first hex char of
-    md5(b ':' token); the bit is 1 when the sum is positive.  Pure built-ins
-    (explode + two groupBys), portable md5 semantics."""
-    bs = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    votes = (
-        tokens(docs, id_col, text_col)
-        .select(id_col, "token", bs)
-        .select(
-            id_col,
-            "b",
-            (
-                (
-                    F.ascii(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col("b").cast("string"), F.lit(":"), F.col("token")
-                                )
-                            ),
-                            1,
-                            1,
-                        )
-                    )
-                    % 2
-                )
-                * 2
-                - 1
-            ).alias("vote"),
-        )
-        .groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
+    Bit b of the fingerprint is voted on by every token with +-1 from bit
+    (b % 4) of hex digit (b // 4) of md5(token) — ONE md5 per token total
+    (not one per bit), every vote column partial-aggregated map-side, no
+    explode and a single groupBy.  The md5 digest carries 128 independent
+    bits, so up to 128 fingerprint bits cost one hash evaluation.  Portable
+    to the DuckDB oracle (strpos-based hex-digit parse there, conv here —
+    same values)."""
+    assert bits <= 128, "one md5 digest carries 128 bits"
+    tok_h = tokens(docs, id_col, text_col).select(
+        id_col, F.md5(F.col("token")).alias("h")
     )
-    return (
-        votes.withColumn("bit", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy(id_col)
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
-                    lambda s: s.getField("bit"),
-                ),
-                "",
-            ).alias("simhash")
-        )
+
+    def vote(b):
+        digit = F.conv(F.substring(F.col("h"), 1 + b // 4, 1), 16, 10).cast("int")
+        bit = F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+        return bit * 2 - 1
+
+    agg = tok_h.groupBy(id_col).agg(
+        *[F.sum(vote(b)).alias(f"v{b}") for b in range(bits)]
+    )
+    return agg.select(
+        id_col,
+        F.concat(
+            *[
+                F.when(F.col(f"v{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(bits)
+            ]
+        ).alias("simhash"),
     )
 
 
