@@ -266,6 +266,50 @@ def malformed(i, rng):
     return b"\xff\xfe\x80\x81 not utf8"
 
 
+def table_content(i, rng):
+    """Reference 'table-style-attributes' analog: tables keep style attrs,
+    <tbody> is synthesized, and the TABLE-ancestor exception protects
+    unlikely-candidate-classed cells from removal
+    (/root/reference/src/stage/remove_unlikely_candidates.rs:62-71,151)."""
+    w = _words(rng, 6)
+    return (
+        f"<html><body><h1>{_words(rng, 3).title()}</h1>"
+        f'<table style="width:100%;border:1px solid">'
+        f'<tr><td class="sidebar">{w}</td>'  # survives: TABLE ancestor
+        f"<td>{_words(rng, 5)}</td></tr></table>"
+        f'<div class="sidebar">{_words(rng, 4)}</div>'  # removed: no exception
+        f"<p>{_words(rng, 9)}.</p></body></html>"
+    )
+
+
+def social_buttons(i, rng):
+    """Reference 'social-buttons' analog: share widgets matched by the
+    unlikely-candidate regex are stripped unless a maybe-candidate token
+    rescues them (/root/reference/src/re.rs:12-13,32-34)."""
+    rescued = i % 3 == 0
+    cls = "social-share article" if rescued else "social-share"
+    return (
+        f"<html><body><p>{_words(rng, 10)}.</p>"
+        f'<div class="{cls}"><a href="/tweet">Tweet</a><a href="/like">Like</a></div>'
+        f'<ul id="sponsor-links"><li>{_words(rng, 2)}</li></ul>'
+        f"<p>{_words(rng, 6)}.</p></body></html>"
+    )
+
+
+def svg_inline(i, rng):
+    """Reference 'svg-parsing' analog (subset: lowercase attrs only —
+    foreign-content case preservation is out of scope per FIXTURES.md):
+    inline svg passes through removal stages; its text participates in
+    text_content."""
+    return (
+        f"<html><body><p>{_words(rng, 8)}.</p>"
+        f'<svg width="100" height="40" viewbox="0 0 100 40">'
+        f'<circle cx="20" cy="20" r="10"></circle>'
+        f"<text>chart label {i % 7}</text></svg>"
+        f"<p>{_words(rng, 5)}.</p></body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -285,6 +329,9 @@ FAMILIES = [
     ("entities", entities),
     ("element_limit", element_limit_family),
     ("malformed", malformed),
+    ("table_content", table_content),
+    ("social_buttons", social_buttons),
+    ("svg_inline", svg_inline),
 ]
 
 
