@@ -227,8 +227,26 @@ def embedding_near_dup_pairs(
     )
 
 
+def collect_codebook(centroids: DataFrame, id_col="vec_id", vec_col="embedding"):
+    """Collect a (small by contract) centroid DataFrame to a driver-side
+    codebook list usable by ivf_assign/ann_ivf_topk."""
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in centroids.select(id_col, vec_col).collect()]
+
+
+def _codebook_array(codebook):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(cid).cast("long").alias("cid"),
+                F.array(*[F.lit(x) for x in vec]).alias("cvec"),
+            )
+            for cid, vec in codebook
+        ]
+    )
+
+
 def ivf_assign(
-    emb: DataFrame, centroids: DataFrame, id_col="vec_id", vec_col="embedding"
+    emb: DataFrame, centroids, id_col="vec_id", vec_col="embedding"
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
 
@@ -239,16 +257,15 @@ def ivf_assign(
     difference between a map stage and shuffling the whole corpus.
 
     Deterministic tie-break: higher cosine wins, then lower centroid_id
-    (same ordering as max-over-struct(ccos, -centroid_id))."""
-    crows = centroids.select(id_col, vec_col).collect()
-    carr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r[0])).cast("long").alias("cid"),
-                F.array(*[F.lit(float(x)) for x in r[1]]).alias("cvec"),
-            )
-            for r in crows
-        ]
+    (same ordering as max-over-struct(ccos, -centroid_id)).
+
+    ``centroids`` may be a DataFrame or an already-collected codebook (the
+    list returned by ``collect_codebook``) so callers assigning several
+    frames against the same codebook collect it once."""
+    carr = _codebook_array(
+        centroids
+        if isinstance(centroids, list)
+        else collect_codebook(centroids, id_col, vec_col)
     )
     # argmax = array_max over (cosine, -cid) structs: struct ordering gives
     # highest cosine first, then lowest centroid_id — the same tie-break as
@@ -278,8 +295,13 @@ def ann_ivf_topk(
     At scale this is the point — with C centroids the scan touches ~1/C of
     the corpus (and the assignment can be precomputed/partitioned-by), vs
     the brute-force path touching everything.  Returns (vec_id, cosine)."""
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
-    q = ivf_assign(query, centroids, id_col, vec_col).select(
+    codebook = (
+        centroids
+        if isinstance(centroids, list)
+        else collect_codebook(centroids, id_col, vec_col)
+    )
+    assigned = ivf_assign(emb, codebook, id_col, vec_col)
+    q = ivf_assign(query, codebook, id_col, vec_col).select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
         F.col("centroid_id").alias("qcent"),
