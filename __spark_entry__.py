@@ -819,6 +819,86 @@ def except_regression_diff(spark, sf_dir):
     return a.subtract(b)  # EXCEPT DISTINCT semantics, matching the SQL
 
 
+@_q(
+    "semi_join_docs_with_dups",
+    """
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM documents d
+    WHERE EXISTS (
+      SELECT 1 FROM documents o
+      WHERE o.doc_id != d.doc_id
+        AND o.source = d.source AND length(o.text) = length(d.text)
+    )
+    """,
+)
+def semi_join_docs_with_dups(spark, sf_dir):
+    """Left-semi-join coverage: documents whose coarse duplicate key
+    (source, text length) collides with at least one OTHER document — the
+    'has a duplicate candidate' filter.  Semi join keeps the probe row,
+    duplicates nothing, and at scale never materializes the match side's
+    payload."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", F.length("text").alias("n_chars"))
+    other = docs.select(
+        F.col("doc_id").alias("o_id"),
+        F.col("source").alias("o_source"),
+        F.col("n_chars").alias("o_n"),
+    )
+    return docs.join(
+        other,
+        (F.col("source") == F.col("o_source"))
+        & (F.col("n_chars") == F.col("o_n"))
+        & (F.col("doc_id") != F.col("o_id")),
+        "left_semi",
+    ).select("doc_id", "n_chars")
+
+
+@_q(
+    "intersect_stable_docs",
+    """
+    SELECT doc_id, md5(text) AS text_hash FROM documents
+    INTERSECT
+    SELECT doc_id, md5(trim(text)) AS text_hash FROM documents
+    """,
+)
+def intersect_stable_docs(spark, sf_dir):
+    """INTERSECT coverage: fingerprints unchanged by a trim-normalizing
+    re-run — the stable complement of the EXCEPT regression diff."""
+    docs = _docs(spark, sf_dir)
+    a = docs.select("doc_id", F.md5("text").alias("text_hash"))
+    b = docs.select("doc_id", F.md5(F.trim(F.col("text"))).alias("text_hash"))
+    return a.intersect(b)
+
+
+@_q(
+    "json_sidecar_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(json_extract_string(sidecar, '$.src') AS VARCHAR) AS src,
+           CAST(json_extract(sidecar, '$.n') AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id,
+             to_json(struct_pack(src := source, n := length(text))) AS sidecar
+      FROM documents)
+    """,
+)
+def json_sidecar_roundtrip(spark, sf_dir):
+    """Dataset-level JSON function coverage (SURVEY.md §2.4 'JSON
+    functions'): build a JSON metadata sidecar column with to_json and read
+    it back with get_json_object — the crawl-sidecar pattern (WAT files,
+    page metadata blobs) without any Python."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.to_json(
+            F.struct(F.col("source").alias("src"), F.length("text").alias("n"))
+        ).alias("sidecar"),
+    )
+    return docs.select(
+        "doc_id",
+        F.get_json_object("sidecar", "$.src").alias("src"),
+        F.get_json_object("sidecar", "$.n").cast("long").alias("n_chars"),
+    )
+
+
 # ---------------------------------------------------------------- streaming
 
 
