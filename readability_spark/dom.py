@@ -66,6 +66,10 @@ _LIST_ITEM_SCOPE_STOP = frozenset(
 )
 
 _TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
+_FOSTER_CONTEXTS = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+_TABLE_PARTS = frozenset(
+    "table tbody thead tfoot tr td th caption col colgroup script style template form".split()
+)
 
 
 # Global structural-revision counter: bumped by every tree/attr mutation so
@@ -356,15 +360,20 @@ class _TreeBuilder(HTMLParser):
                     m = _ATTR_START.match(rawdata, i)
                     if m is not None:
                         tag = m.group(1).lower()
-                        attrs = []
+                        attrs = {}
                         for am in _ATTR_ITEM.finditer(m.group(2)):
+                            name = am.group(1).lower()
+                            if name in attrs:  # first-wins dedup
+                                continue
                             value = am.group(2)
-                            if value is not None:
+                            if value is None:
+                                value = ""
+                            else:
                                 if value[0] in "\"'":
                                     value = value[1:-1]
-                                if value and "&" in value:
+                                if "&" in value:
                                     value = _unescape(value)
-                            attrs.append((am.group(1).lower(), value))
+                            attrs[name] = value
                         if m.group(3):
                             self.handle_startendtag(tag, attrs)
                         else:
@@ -458,13 +467,9 @@ class _TreeBuilder(HTMLParser):
             cur = self._current()
         if (
             foster_ok
-            and cur.name in ("table", "tbody", "thead", "tfoot", "tr")
+            and cur.name in _FOSTER_CONTEXTS
             and not (node.kind == TEXT and node.data.strip() == "")
-            and not (
-                node.kind == ELEMENT
-                and node.name
-                in ("table", "tbody", "thead", "tfoot", "tr", "td", "th", "caption", "col", "colgroup", "script", "style", "template", "form")
-            )
+            and not (node.kind == ELEMENT and node.name in _TABLE_PARTS)
         ):
             # minimal foster parenting: insert before the nearest table
             table = cur
@@ -481,10 +486,7 @@ class _TreeBuilder(HTMLParser):
         if (
             last is not None
             and last.kind == TEXT
-            and not (
-                cur.name in ("table", "tbody", "thead", "tfoot", "tr")
-                and data.strip() != ""
-            )
+            and not (cur.name in _FOSTER_CONTEXTS and data.strip() != "")
         ):
             last.data += data
         else:
@@ -533,10 +535,15 @@ class _TreeBuilder(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_starttag(self, tag, attrs):
-        attrd = {}
-        for k, v in attrs:
-            if k not in attrd:
-                attrd[k] = v if v is not None else ""
+        # fast_feed passes an already-deduped dict; the stdlib tokenizer
+        # passes (name, value) pairs with first-wins dedup semantics
+        if type(attrs) is dict:
+            attrd = attrs
+        else:
+            attrd = {}
+            for k, v in attrs:
+                if k not in attrd:
+                    attrd[k] = v if v is not None else ""
 
         if tag == "html":
             self._ensure_html(attrd)
