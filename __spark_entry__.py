@@ -421,6 +421,36 @@ def fingerprint(spark, sf_dir):
 
 
 @_q(
+    "winnow_fingerprints",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    eligible AS (SELECT * FROM docs WHERE len(toks) >= 8),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(toks) - 4),
+                            i -> md5(array_to_string(toks[i:i+4], ' '))) AS g
+      FROM eligible
+    ),
+    fps AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(g) - 3),
+                            j -> list_min(g[j:j+3])) AS f
+      FROM grams
+    )
+    SELECT DISTINCT doc_id, unnest(f) AS fp FROM fps
+    """,
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    """Rolling-hash document fingerprinting (winnowing / MOSS,
+    textops.winnow_fingerprints): k=5-token shingle hashes, min-sampled
+    over w=4 sliding windows — map-only array expressions, no shuffle
+    before the fingerprint set."""
+    return textops.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+@_q(
     "warc_extract_meta",
     f"""
     SELECT {_SQL_URL} AS url,

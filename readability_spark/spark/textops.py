@@ -314,3 +314,35 @@ def ann_ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k=5, w=4, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every k-token shingle with a sliding (rolling) window,
+    then keep the minimum hash of each w-gram window — a position-robust
+    fingerprint set ~1/w the shingle count that still guarantees any match
+    of length >= k+w-1 tokens shares a fingerprint.
+
+    Entirely JVM-side array expressions over the per-row token array
+    (transform/sequence/slice/array_min): no explode until the final
+    fingerprint set, no shuffle before the output — at 100 TB this is a
+    map-only stage.  md5 shingle hashes keep it portable to the DuckDB
+    oracle.  Returns (id, fp) distinct pairs."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+    return (
+        docs.filter(F.size(toks) >= k + w - 1)
+        .select(id_col, F.explode(fps).alias("fp"))
+        .distinct()
+    )

@@ -247,3 +247,34 @@ class TestDomainSessions:
             ("a.example.com", 700): (750, 2),
             ("b.example.com", 100): (100, 1),
         }
+
+
+class TestWinnowing:
+    def test_shared_run_guarantees_shared_fingerprint(self, spark):
+        from readability_spark.spark.textops import winnow_fingerprints
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = k+w-1
+        docs = spark.createDataFrame(
+            [
+                (1, f"intro words here {shared} tail one"),
+                (2, f"completely different prefix {shared} other ending"),
+                (3, "no overlap with anything else at all in this row"),
+            ],
+            "doc_id long, text string",
+        )
+        fps = winnow_fingerprints(docs, k=5, w=4)
+        by_doc = {
+            r.doc_id: {x.fp for x in rows}
+            for r in fps.select("doc_id").distinct().collect()
+            for rows in [fps.filter(F.col("doc_id") == r.doc_id).collect()]
+        }
+        assert by_doc[1] & by_doc[2], "docs sharing an 8-token run must share a fingerprint"
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_short_docs_excluded(self, spark):
+        from readability_spark.spark.textops import winnow_fingerprints
+
+        docs = spark.createDataFrame(
+            [(1, "only seven tokens in this short row")], "doc_id long, text string"
+        )
+        assert winnow_fingerprints(docs, k=5, w=4).count() == 0
