@@ -601,16 +601,24 @@ def multimodal_features(spark, sf_dir):
 
 @_q(
     "token_stats",
-    """
+    r"""
     SELECT doc_id,
            length(text) AS n_chars,
            array_length(string_split(trim(text), ' ')) AS n_tokens,
-           (SELECT count(DISTINCT t) FROM unnest(string_split(trim(text), ' ')) AS u(t)) AS n_distinct_tokens
+           (SELECT count(DISTINCT t) FROM unnest(string_split(trim(text), ' ')) AS u(t)) AS n_distinct_tokens,
+           len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'
+           )) AS n_bpe_tokens
     FROM documents
     """,
 )
 def token_stats(spark, sf_dir):
-    """Token counting over the documents table (whitespace tokenizer)."""
+    """Token counting over the documents table: whitespace tokens plus a
+    BPE-ish pre-tokenizer count (GPT-2-style split regex — contractions,
+    letter runs, digit runs, punctuation runs, whitespace — the standard
+    proxy for LLM token budgeting when no tokenizer model ships with the
+    cluster image)."""
+    bpe = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.length("text").alias("n_chars"),
@@ -618,6 +626,7 @@ def token_stats(spark, sf_dir):
         F.size(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias(
             "n_distinct_tokens"
         ),
+        F.regexp_count("text", F.lit(bpe)).alias("n_bpe_tokens"),
     )
 
 
