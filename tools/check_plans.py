@@ -116,6 +116,33 @@ def main():
         must=[r"PushedFilters: \[.*IsNotNull\(html\).*\]"],
     )
 
+    # 6. IVF assignment is a map-only projection: centroid codebook inlined,
+    # NO exchange/join/aggregate anywhere in the plan
+    from readability_spark.spark.textops import ivf_assign, winnow_fingerprints
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 4)
+    check(
+        "ivf_assign_map_only",
+        ivf_assign(emb, cents),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
+    # 7. winnowing fingerprints: map-side array exprs feed the explode
+    # directly from the scan; the final distinct is the ONLY exchange
+    # (partial+final hash agg around it), no join anywhere
+    winnow_plan = plan_of(winnow_fingerprints(docs, k=5, w=4))
+    sections.append(("winnow_map_only_until_distinct", winnow_plan))
+    if not re.search(r"Generate[\s\S]*Scan parquet", winnow_plan):
+        failures.append("winnow: expected Generate directly over the scan")
+    if len(re.findall(r"\(\d+\) Exchange", winnow_plan)) != 1:
+        failures.append("winnow: expected exactly one Exchange (the distinct)")
+    if not re.search(r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", winnow_plan):
+        failures.append("winnow: expected partial+final hash agg around the exchange")
+    if "Join" in winnow_plan:
+        failures.append("winnow: must not contain a join")
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
