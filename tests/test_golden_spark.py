@@ -223,3 +223,29 @@ def test_readerable_flags_spark(spark, pages_df):
         except Exception:
             ok, score = None, None
         assert (row.readerable, row.readerable_score) == (ok, score)
+
+
+def test_hot_domain_spreads_across_partitions_and_salts(spark, pages_df):
+    """Tier-4 skew: the 40%-hot-domain corpus must spread ~uniformly over
+    the url-hash partition space (url hashing, not domain hashing) and the
+    deterministic salt must subdivide the hot domain across all salt
+    values — the properties the north_rule's salting requirement is about."""
+    from readability_spark.spark.job import with_partition_id, with_salt
+
+    n_parts, n_salts = 8, 4
+    hot = with_salt(with_partition_id(pages_df, n_parts), n_salts).filter(
+        F.col("url").contains("hot.example.com")
+    )
+    per_part = {r.partition_id: r.cnt for r in
+                hot.groupBy("partition_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(per_part.values())
+    assert total > 0
+    assert len(per_part) == n_parts, "hot domain must hit every partition"
+    assert max(per_part.values()) <= 2 * (total / n_parts), "no partition hoards the hot domain"
+    salts = {r.salt for r in hot.select("salt").distinct().collect()}
+    assert salts == set(range(n_salts)), "salt must subdivide the hot domain fully"
+    # determinism: same url always gets the same (partition, salt)
+    again = with_salt(with_partition_id(pages_df, n_parts), n_salts)
+    a = {r.url: (r.partition_id, r.salt) for r in again.select("url", "partition_id", "salt").collect()}
+    b = {r.url: (r.partition_id, r.salt) for r in hot.select("url", "partition_id", "salt").collect()}
+    assert all(a[u] == b[u] for u in b)
