@@ -367,6 +367,48 @@ def embedding_near_dup(spark, sf_dir):
     return textops.embedding_near_dup_pairs(emb, threshold=0.4)
 
 
+import random as _random
+
+# deterministic sign-LSH hyperplanes, shared verbatim by the Spark operator
+# and the DuckDB oracle (decimal literals parse to identical doubles)
+_lsh_rng = _random.Random(42)
+_LSH_PLANES = [
+    [round(_lsh_rng.uniform(-1.0, 1.0), 6) for _ in range(64)] for _ in range(4)
+]
+_LSH_BUCKET_SQL = " || ".join(
+    "(CASE WHEN list_dot_product(embedding, ["
+    + ", ".join(str(x) for x in plane)
+    + "]) >= 0 THEN '1' ELSE '0' END)"
+    for plane in _LSH_PLANES
+)
+
+
+@_q(
+    "lsh_cosine_pairs",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_LSH_BUCKET_SQL} AS bucket
+      FROM embeddings
+    )
+    SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+           round(list_dot_product(l.embedding, r.embedding)
+                 / (sqrt(list_dot_product(l.embedding, l.embedding))
+                    * sqrt(list_dot_product(r.embedding, r.embedding))), 4) AS cosine
+    FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(list_dot_product(l.embedding, r.embedding)
+                / (sqrt(list_dot_product(l.embedding, l.embedding))
+                   * sqrt(list_dot_product(r.embedding, r.embedding))), 4) >= 0.4
+    """,
+)
+def lsh_cosine_pairs_q(spark, sf_dir):
+    """Sign-LSH (random hyperplane) near-dup over the full embeddings table
+    (textops.lsh_cosine_pairs): bucketing is a map-only projection over
+    inlined hyperplane literals, only same-bucket pairs are joined — the
+    LSH scale path next to the IVF one."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.lsh_cosine_pairs(emb, _LSH_PLANES, threshold=0.4)
+
+
 @_q(
     "ann_ivf_topk",
     """

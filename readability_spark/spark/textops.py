@@ -346,3 +346,62 @@ def winnow_fingerprints(
         .select(id_col, F.explode(fps).alias("fp"))
         .distinct()
     )
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame, hyperplanes, id_col="vec_id", vec_col="embedding"
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH for cosine similarity: bucket key =
+    concatenated signs of <v, h_j> for each hyperplane h_j.  Vectors with
+    high cosine land in the same bucket with probability
+    (1 - theta/pi)^n_planes.
+
+    ``hyperplanes`` is a driver-side list of vectors (deterministic,
+    seeded by the caller) inlined as literals — like the IVF codebook,
+    bucketing is a map-only projection: no shuffle, no join, no Python."""
+    sign_bits = [
+        F.when(
+            _dot(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in h]),
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for h in hyperplanes
+    ]
+    return emb.select(id_col, vec_col, F.concat(*sign_bits).alias("bucket"))
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame, hyperplanes, threshold=0.4, id_col="vec_id", vec_col="embedding"
+) -> DataFrame:
+    """Embedding near-dup via sign-LSH bucketing + exact cosine verify —
+    the LSH counterpart of ann_ivf_topk's IVF path.  Only same-bucket
+    pairs are ever joined (the shuffle is on the short bucket key), then
+    verified with the exact cosine (norms precomputed once per row).
+    Returns (vec_a, vec_b, cosine >= threshold)."""
+    b = hyperplane_lsh_buckets(emb, hyperplanes, id_col, vec_col)
+    normed = b.select(
+        id_col,
+        "bucket",
+        F.col(vec_col),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    )
+    l, r = normed.alias("l"), normed.alias("r")
+    cos = _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")) / (
+        F.col("l._norm") * F.col("r._norm")
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("vec_a"),
+            F.col(f"r.{id_col}").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -278,3 +278,23 @@ class TestWinnowing:
             [(1, "only seven tokens in this short row")], "doc_id long, text string"
         )
         assert winnow_fingerprints(docs, k=5, w=4).count() == 0
+
+
+class TestSignLSH:
+    def test_same_bucket_for_identical_directions(self, spark):
+        from readability_spark.spark.textops import hyperplane_lsh_buckets, lsh_cosine_pairs
+
+        planes = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        emb = spark.createDataFrame(
+            [
+                (1, [1.0, 1.0, 0.0]),
+                (2, [2.0, 2.0, 0.0]),   # same direction as 1
+                (3, [-1.0, -1.0, 0.0]), # opposite direction
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        buckets = {r.vec_id: r.bucket for r in hyperplane_lsh_buckets(emb, planes).collect()}
+        assert buckets[1] == buckets[2] == "11"
+        assert buckets[3] == "00"
+        pairs = lsh_cosine_pairs(emb, planes, threshold=0.9).collect()
+        assert [(p.vec_a, p.vec_b, p.cosine) for p in pairs] == [(1, 2, 1.0)]
