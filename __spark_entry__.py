@@ -675,22 +675,49 @@ def token_stats(spark, sf_dir):
 @_q(
     "quality_score",
     """
+    WITH t AS (
+      SELECT doc_id, text,
+             string_split(trim(text), ' ') AS toks,
+             length(text) - length(replace(replace(replace(replace(replace(replace(
+               text, '.', ''), ',', ''), ';', ''), ':', ''), '!', ''), '?', '')) AS n_punct
+      FROM documents
+    )
     SELECT doc_id,
-           round(CAST(length(text) AS DOUBLE) / array_length(string_split(trim(text), ' ')), 4) AS avg_token_len,
-           CASE WHEN length(text) >= 100 AND array_length(string_split(trim(text), ' ')) >= 20
-                THEN 1 ELSE 0 END AS passes_length_gate
-    FROM documents
+           round(CAST(length(text) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+           CASE WHEN length(text) >= 100 AND len(toks) >= 20 THEN 1 ELSE 0 END AS passes_length_gate,
+           round(CAST(n_punct AS DOUBLE) / length(text), 4) AS punct_ratio,
+           round(CAST(len(list_filter(toks,
+                 x -> x IN ('the','and','of','to','a','in','is','that'))) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio
+    FROM t
     """,
 )
 def quality_score(spark, sf_dir):
-    """Quality scoring: length/token-ratio gates (training-data filter)."""
-    toks = F.size(F.split(F.trim(F.col("text")), " "))
+    """Quality scoring: length/token gates plus punctuation and stopword
+    ratios (the standard web-text quality filters).  Punctuation counted
+    by chained-replace length difference — exactly portable; stopword
+    ratio via a filtered token array."""
+    toks_arr = F.split(F.trim(F.col("text")), " ")
+    toks = F.size(toks_arr)
+    punct = F.col("text")
+    for ch in ".,;:!?":
+        punct = F.replace(punct, F.lit(ch))
+    stop = F.size(
+        F.filter(
+            toks_arr,
+            lambda x: x.isin("the", "and", "of", "to", "a", "in", "is", "that"),
+        )
+    )
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.round(F.length("text").cast("double") / toks, 4).alias("avg_token_len"),
         F.when((F.length("text") >= 100) & (toks >= 20), 1)
         .otherwise(0)
         .alias("passes_length_gate"),
+        F.round(
+            (F.length("text") - F.length(punct)).cast("double") / F.length("text"), 4
+        ).alias("punct_ratio"),
+        F.round(stop.cast("double") / toks, 4).alias("stopword_ratio"),
     )
 
 
@@ -723,6 +750,73 @@ def lang_id_heuristic(spark, sf_dir):
         .otherwise("und")
         .alias("lang_guess"),
         F.col("lang").alias("lang_declared"),
+    )
+
+
+# character-trigram profiles (public linguistic marker sets); occurrence
+# counting via length-difference is exactly portable (no regex dialects)
+_NGRAM_PROFILES = {
+    "en": [" th", "the", "ing", "and"],
+    "de": ["der", "ein", "sch", "und"],
+    "fr": ["les", "ent", " et", " la"],
+    "es": [" de", "los", " el", "ión"],
+}
+
+
+def _ngram_score_sql(grams):
+    return " + ".join(
+        f"(length(text) - length(replace(text, '{g}', ''))) / 3" for g in grams
+    )
+
+
+@_q(
+    "lang_id_ngram",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_ngram_score_sql(_NGRAM_PROFILES["en"])} AS s_en,
+             {_ngram_score_sql(_NGRAM_PROFILES["de"])} AS s_de,
+             {_ngram_score_sql(_NGRAM_PROFILES["fr"])} AS s_fr,
+             {_ngram_score_sql(_NGRAM_PROFILES["es"])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+                WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+                WHEN s_es > 0 THEN 'es'
+                ELSE 'und' END AS lang_guess,
+           CAST(s_en AS BIGINT) AS score_en
+    FROM scored
+    """,
+)
+def lang_id_ngram(spark, sf_dir):
+    """Character-trigram language ID (the n-gram heuristic tier above the
+    stopword LIKE markers): per-language trigram profiles scored by
+    substring occurrence counts — computed with length-difference
+    arithmetic, which is bit-identical across engines.  Deterministic
+    argmax with en>de>fr>es tie order."""
+
+    def score(grams):
+        out = None
+        for g in grams:
+            c = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(g)))) / 3
+            out = c if out is None else out + c
+        return out
+
+    s = {k: score(v) for k, v in _NGRAM_PROFILES.items()}
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+        .alias("lang_guess"),
+        s["en"].cast("long").alias("score_en"),
     )
 
 
