@@ -1244,6 +1244,41 @@ def join_customer_orders(spark, sf_dir):
 
 
 @_q(
+    "range_join_page_events",
+    f"""
+    WITH pages AS (
+      SELECT {_SQL_URL} AS url,
+             TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id * 37) AS warc_ts
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT p.url,
+           count(e.ts) AS n_events_within_hour,
+           round(coalesce(sum(e.value), 0), 2) AS total_value
+    FROM pages p LEFT JOIN events e
+      ON e.ts >= p.warc_ts AND e.ts < p.warc_ts + INTERVAL 1 HOUR
+    GROUP BY p.url
+    """,
+)
+def range_join_page_events(spark, sf_dir):
+    """Range/interval join coverage: events landing within one hour after
+    each page's capture time (non-equi band predicate — the crawl-activity
+    correlation pattern).  Bounded to 50 pages so the band join stays small
+    at every sf; at scale the band is bucketed by hour first so the join
+    becomes equi-on-bucket + range-refine."""
+    from readability_spark.spark.pages import pages_from_documents
+
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    p = pages_from_documents(docs).select("url", "warc_ts")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cond = (ev.ts >= p.warc_ts) & (ev.ts < p.warc_ts + F.expr("INTERVAL 1 HOUR"))
+    joined = p.join(ev, cond, "left")
+    return joined.groupBy("url").agg(
+        F.count("ts").alias("n_events_within_hour"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0)), 2).alias("total_value"),
+    )
+
+
+@_q(
     "anti_join_resume",
     """
     SELECT c_custkey FROM customer
