@@ -220,4 +220,26 @@ def grab_article(document, options):
     wrapper = dom.new_element("div", {"id": "readability-content"})
     for sibling in selected:
         wrapper.append_child(sibling)
+    clean_classes(wrapper, options)
     return wrapper
+
+
+def clean_classes(root, options):
+    """mozilla _cleanClasses post-process (Readability.js), finally
+    consuming ``keep_classes``: unless keep_classes is set, every element
+    under (and including) ``root`` keeps only the classes listed in
+    ``options.preserved_classes``; an emptied class attr is removed."""
+    if options.keep_classes:
+        return
+    preserved = set(options.preserved_classes)
+    nodes = [root] if root.kind == dom.ELEMENT else []
+    nodes += [n for n in root.descendants() if n.kind == dom.ELEMENT]
+    for node in nodes:
+        cls = node.attr("class")
+        if cls is None:
+            continue
+        kept = [c for c in cls.split() if c in preserved]
+        if kept:
+            node.set_attr("class", " ".join(kept))
+        else:
+            node.remove_attrs(("class",))

@@ -232,6 +232,11 @@ def _jsonld_byline(article):
 
 
 def extract_json_ld(ctx):
+    # the reference declares use_json_ld but never reads it
+    # (/root/reference/src/options.rs:34 vs SURVEY.md §0); we honor its
+    # documented intent — default True keeps byte-identical default output
+    if not ctx.options.use_json_ld:
+        return
     for script in dom.select(ctx.document, "script[type='application/ld+json']"):
         text = script.text().strip()
         if text.startswith("<![CDATA["):

@@ -152,3 +152,40 @@ class TestEndToEnd:
         doc = parse_body(f"<div id='a'><p>{LONG}</p></div>")
         top, _ = scoring.top_candidate(doc, Options(n_top_candidates=1))
         assert top.attrs.get("id") == "a"
+
+
+def test_use_json_ld_gate():
+    from readability_spark.options import Options
+    from readability_spark.pipeline import extract
+
+    html = (
+        '<html><head><script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"Article","name":"LD Title"}'
+        "</script><title>Doc Title</title></head><body><p>text</p></body></html>"
+    )
+    assert extract(html).title == "LD Title"
+    assert extract(html, options=Options(use_json_ld=False)).title == "Doc Title"
+
+
+def test_clean_classes_consumes_keep_classes():
+    from readability_spark.options import Options
+    from readability_spark.pipeline import extract
+
+    body = (
+        "<body><div class='page content'><p class='lead para'>"
+        + "word " * 30
+        + "</p></div></body>"
+    )
+    # default: only preserved classes ('page') survive in scored content
+    art = extract(body, options=Options(content_extraction=True, min_text_length=0))
+    assert "class=\"page\"" in art.content or "class='page'" in art.content.replace('"', "'")
+    assert "lead" not in art.content
+    # keep_classes: everything survives
+    art2 = extract(
+        body,
+        options=Options(content_extraction=True, min_text_length=0, keep_classes=True),
+    )
+    assert "lead para" in art2.content
+    # default pipeline (no scoring) never strips classes (reference parity)
+    art3 = extract(body)
+    assert "lead para" in art3.content
