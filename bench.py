@@ -127,6 +127,11 @@ def main():
         "multimodal_features",
         "pdf_extract_text",
         "readerable_flags",
+        "winnow_fingerprints",
+        "lsh_cosine_pairs",
+        "latest_snapshot_per_url",
+        "crawl_cube_stats",
+        "lang_id_ngram",
     ]
     allq = entrymod.queries()
     for name in bench_set:

@@ -335,17 +335,21 @@ def winnow_fingerprints(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
     )
+    # materialize the gram array as a column BEFORE the window-min pass:
+    # Catalyst does not CSE an expression referenced inside a lambda, so
+    # inlining `grams` into the second transform would recompute the whole
+    # md5 array once per window position (O(n^2) hashes per document)
+    with_grams = docs.filter(F.size(toks) >= k + w - 1).select(
+        id_col, grams.alias("_grams")
+    )
+    g = F.col("_grams")
     fps = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(grams) - (w - 1)),
-            lambda j: F.array_min(F.slice(grams, j, w)),
+            F.sequence(F.lit(1), F.size(g) - (w - 1)),
+            lambda j: F.array_min(F.slice(g, j, w)),
         )
     )
-    return (
-        docs.filter(F.size(toks) >= k + w - 1)
-        .select(id_col, F.explode(fps).alias("fp"))
-        .distinct()
-    )
+    return with_grams.select(id_col, F.explode(fps).alias("fp")).distinct()
 
 
 def hyperplane_lsh_buckets(
