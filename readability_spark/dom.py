@@ -718,32 +718,42 @@ def _escape_attr(s):
 
 
 def _serialize_into(node, out, raw):
-    kind = node.kind
-    if kind == TEXT:
-        out.append(node.data if raw else _escape_text(node.data))
-        return
-    if kind == COMMENT:
-        out.append(f"<!--{node.data}-->")
-        return
-    if kind == DOCTYPE:
-        out.append(f"<!DOCTYPE {node.data}>")
-        return
-    if kind == DOCUMENT:
-        for child in node.children:
-            _serialize_into(child, out, False)
-        return
-    # element
-    out.append("<")
-    out.append(node.name)
-    for k, v in node.attrs.items():
-        out.append(f' {k}="{_escape_attr(v)}"')
-    out.append(">")
-    if node.name in VOID_ELEMENTS:
-        return
-    child_raw = node.name in RAW_TEXT_ELEMENTS
-    for child in node.children:
-        _serialize_into(child, out, child_raw)
-    out.append(f"</{node.name}>")
+    # iterative (explicit stack): Common-Crawl junk pages can nest deeper
+    # than Python's recursion limit; a close-tag sentinel string is pushed
+    # after each non-void element's children
+    stack = [(node, raw)]
+    while stack:
+        item = stack.pop()
+        if type(item) is str:  # close-tag sentinel
+            out.append(item)
+            continue
+        n, r = item
+        kind = n.kind
+        if kind == TEXT:
+            out.append(n.data if r else _escape_text(n.data))
+            continue
+        if kind == COMMENT:
+            out.append(f"<!--{n.data}-->")
+            continue
+        if kind == DOCTYPE:
+            out.append(f"<!DOCTYPE {n.data}>")
+            continue
+        if kind == DOCUMENT:
+            for child in reversed(n.children):
+                stack.append((child, False))
+            continue
+        # element
+        out.append("<")
+        out.append(n.name)
+        for k, v in n.attrs.items():
+            out.append(f' {k}="{_escape_attr(v)}"')
+        out.append(">")
+        if n.name in VOID_ELEMENTS:
+            continue
+        stack.append(f"</{n.name}>")
+        child_raw = n.name in RAW_TEXT_ELEMENTS
+        for child in reversed(n.children):
+            stack.append((child, child_raw))
 
 
 def serialize(node):

@@ -61,3 +61,13 @@ def test_extract_deterministic(html):
         assert b[0] is None and a[1:] == b[1:]
     else:
         assert a[0] == b[0] and a[1:] == b[1:]
+
+
+def test_pathologically_deep_nesting_extracts():
+    """Common-Crawl junk can nest deeper than Python's recursion limit —
+    parse, stages, text() and the serializer must all be iterative."""
+    html = "<body>" + "<div>" * 3000 + "deep text" + "</div>" * 3000 + "</body>"
+    article, status, error = extract_row(html)
+    assert status == "ok", error
+    assert "deep text" in article.text_content
+    assert article.content.count("<div>") == 3000
