@@ -464,16 +464,23 @@ PHRASING_ELEMENTS = frozenset(
 
 
 def _is_phrasing_content(node):
-    if node.kind == dom.TEXT:
-        return True
-    if node.kind != dom.ELEMENT:
+    # iterative: a/del/ins chains in junk markup can nest past the Python
+    # recursion limit (same hazard class as the serializer)
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if n.kind == dom.TEXT:
+            continue
+        if n.kind != dom.ELEMENT:
+            return False
+        name = n.name.lower()
+        if name in PHRASING_ELEMENTS:
+            continue
+        if name in ("a", "del", "ins"):
+            stack.extend(n.children)
+            continue
         return False
-    name = node.name.lower()
-    if name in PHRASING_ELEMENTS:
-        return True
-    return name in ("a", "del", "ins") and all(
-        _is_phrasing_content(c) for c in node.children
-    )
+    return True
 
 
 def _is_whitespace(node):
