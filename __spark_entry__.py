@@ -145,7 +145,7 @@ def domain_skew(spark, sf_dir):
     "extract_scored_text",
     f"""
     SELECT {_SQL_URL} AS url,
-           {_SQL_TITLE} || text || ' Section ' || doc_id || ' closing remarks.' AS text_content
+           text || ' Section ' || doc_id || ' closing remarks.' AS text_content
     FROM documents
     """,
 )
@@ -153,14 +153,40 @@ def extract_scored_text(spark, sf_dir):
     """Arc90 scoring pass (readability_spark/scoring.py): the top candidate
     on the synthetic page is the #page-main div (positive id signal +
     paragraph seeds), so the scored text drops the nav/site boilerplate the
-    whole-document output keeps.  Closed-form oracle: h1 + article text +
-    closing paragraph, nothing else."""
+    whole-document output keeps.  The prep pass (prep.py, mozilla
+    _cleanHeaders) then drops the <h1> because it duplicates the extracted
+    title.  Closed-form oracle: article text + closing paragraph only."""
     from readability_spark.options import Options
 
     opts = Options(content_extraction=True, min_text_length=0)
     return extract_articles(read_pages(spark, sf_dir), options=opts).select(
         "url", "text_content"
     )
+
+
+@_q(
+    "extract_prepped_text",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           text || ' Section ' || doc_id || ' closing remarks.' AS text_content
+    FROM documents
+    """,
+)
+def extract_prepped_text(spark, sf_dir):
+    """mozilla _prepArticle boilerplate strip (readability_spark/prep.py),
+    proven end to end: the input page embeds a newsletter <form>, a
+    link-dense promo <table>, a share widget and an empty paragraph inside
+    the winning #page-main subtree; the scored output matches the SAME
+    closed form as the clean contract page, so the hash equality is a proof
+    every junk family (forms, layout tables, share widgets, empty
+    paragraphs, title-duplicate headers) was removed."""
+    from readability_spark.options import Options
+    from readability_spark.spark.pages import junk_pages_from_documents
+
+    opts = Options(content_extraction=True, min_text_length=0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = junk_pages_from_documents(docs)
+    return extract_articles(pages, options=opts).select("url", "text_content")
 
 
 @_q(
@@ -946,7 +972,7 @@ def latest_snapshot_per_url(spark, sf_dir):
                     'ALL') AS domain,
            coalesce(nullif(trim(lang), ''), 'ALL') AS lang_group,
            count(*) AS n_pages,
-           sum(length(text)) AS n_chars
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
     FROM documents
     GROUP BY CUBE ((case when doc_id % 10 < 4 then 'hot' else source end) || '.example.com',
                    nullif(trim(lang), ''))
@@ -967,7 +993,13 @@ def crawl_cube_stats(spark, sf_dir):
     )
     return (
         docs.cube("domain", "lang_group")
-        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_chars").alias("n_chars"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            # DuckDB integer SUM returns HUGEINT (int128), which some fetch
+            # paths render as float ("123.0" vs "123"); cast BOTH sides to
+            # 64-bit so driver-side value normalization hashes identically.
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
         .select(
             F.coalesce(F.col("domain"), F.lit("ALL")).alias("domain"),
             F.coalesce(F.col("lang_group"), F.lit("ALL")).alias("lang_group"),

@@ -31,6 +31,13 @@ class Options:
     #: n_top_candidates / preserved_classes, which the reference declares but
     #: never reads (SURVEY.md section 0).
     content_extraction: bool = False
+    #: our extension: run the mozilla _prepArticle / _cleanConditionally
+    #: cleanup (prep.py) on the scored selection — strips forms, fieldsets,
+    #: fishy tables/lists/divs, embeds, share widgets, empty paragraphs
+    #: (the north_star's "strip boilerplate (nav, footer, ads, forms)").
+    #: Mirrors mozilla's FLAG_CLEAN_CONDITIONALLY (default on); only
+    #: consulted when content_extraction is on.
+    clean_conditionally: bool = True
     #: our extension: opt into mozilla's fixRelativeUris pass (urifix.py) —
     #: resolves link/media URIs in the content against the (otherwise
     #: ignored, /root/reference/src/pipeline.rs:30) base_url. Off by default

@@ -74,7 +74,7 @@ def extract(html, base_url=None, options=None):
         # whole cleaned document when no candidate clears min_text_length
         from .scoring import grab_article
 
-        selected = grab_article(document, options)
+        selected = grab_article(document, options, title=ctx.metadata.title)
         if selected is not None:
             content_root = selected
     if options.fix_relative_uris and base_url is not None:

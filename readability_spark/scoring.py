@@ -48,6 +48,7 @@ DIV_TO_P_BLOCKERS = frozenset(
 MIN_PARAGRAPH_LENGTH = 25  # chars of trimmed text before a node scores
 SIBLING_SCORE_FLOOR = 10.0
 SIBLING_SCORE_FRACTION = 0.2
+MAX_SCORE_ANCESTORS = 5  # mozilla _getNodeAncestors(node, 5) propagation cap
 
 
 def class_weight(node):
@@ -116,7 +117,8 @@ def _is_paragraph_like_div(node):
 def score_candidates(document):
     """One document-order pass: seed scores from paragraph-like nodes and
     propagate to ancestors (parent full, grandparent half, level L divided
-    by 3L — mozilla _grabArticle ancestor loop). Returns {node: score}
+    by 3L — mozilla _grabArticle ancestor loop, capped at 5 ancestor levels
+    like mozilla _getNodeAncestors(node, 5)). Returns {node: score}
     BEFORE link-density scaling."""
     scores = {}
     for node in document.descendants():
@@ -129,6 +131,8 @@ def score_candidates(document):
             continue
         content_score = 1.0 + text.count(",") + min(len(text) // 100, 3)
         for level, ancestor in enumerate(node.ancestors()):
+            if level >= MAX_SCORE_ANCESTORS:
+                break
             if ancestor.kind != dom.ELEMENT or ancestor.name in ("html",):
                 break
             if level == 0:
@@ -189,9 +193,12 @@ def _sibling_qualifies(sibling, top, final_scores, top_score, options):
     return False
 
 
-def grab_article(document, options):
+def grab_article(document, options, title=None):
     """Select the article subtree: top candidate + qualifying siblings,
-    wrapped in a fresh ``<div id="readability-content">``.
+    wrapped in a fresh ``<div id="readability-content">``, then post-process
+    with the mozilla ``_prepArticle`` pass (prep.py) — boilerplate
+    form/fieldset/table/list/div stripping, embeds, share widgets, empty
+    paragraphs — unless ``options.clean_conditionally`` is off.
 
     Returns the wrapper element, or None when no candidate scored or the
     selection's text is shorter than ``options.min_text_length`` (the
@@ -220,6 +227,10 @@ def grab_article(document, options):
     wrapper = dom.new_element("div", {"id": "readability-content"})
     for sibling in selected:
         wrapper.append_child(sibling)
+    if options.clean_conditionally:
+        from .prep import prep_article
+
+        prep_article(wrapper, final_scores, title=title)
     clean_classes(wrapper, options)
     return wrapper
 

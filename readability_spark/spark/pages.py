@@ -109,6 +109,70 @@ def pages_from_documents(documents_df):
     )
 
 
+def synthesize_junk_html(doc_id, text, lang):
+    """The contract page plus the boilerplate families the prep pass
+    (readability_spark/prep.py, mozilla _prepArticle) must strip INSIDE the
+    winning subtree: a newsletter form, a link-dense layout table (negative
+    'promo' id signal), a share widget, and an empty paragraph.  The scored
+    extraction output is therefore the same closed form as the plain
+    contract page: text + ' Section {doc_id} closing remarks.' (the <h1> is
+    dropped as a title duplicate) — the DuckDB oracle proves every junk
+    family was removed."""
+    title = f"Daily Report Number {doc_id} Edition"
+    body_text = _htmlmod.escape(text, quote=False)
+    promo_links = "".join(
+        f'<a href="/promo/{doc_id}/{j}">Promoted story {j}</a>' for j in range(8)
+    )
+    return (
+        f'<html lang="{lang}"><head>'
+        f"<title>{title} | ExampleSite</title>"
+        f'<meta property="og:site_name" content="ExampleSite"/>'
+        f'<meta name="author" content="Reporter {doc_id % 20}"/>'
+        f'<meta property="article:published_time" content="2026-02-{1 + doc_id % 27:02d}"/>'
+        f"</head><body>"
+        f'<div class="sidebar"><a href="/home">Home</a> nav junk</div>'
+        f'<div id="page-main"><h1>{title}</h1>'
+        f"<p>{body_text}</p>"
+        f"<p></p>"
+        f'<form id="newsletter"><input name="email"/>'
+        f"<p>Subscribe to our newsletter now</p></form>"
+        f'<table id="promo"><tr><td>{promo_links}</td></tr></table>'
+        f'<div class="share-tools">Share on Social</div>'
+        f"<p> Section {doc_id} closing remarks.</p></div>"
+        f'<div style="display:none">hidden tracking pixel</div>'
+        f"<script>var t=1;</script>"
+        f"</body></html>"
+    )
+
+
+def junk_pages_from_documents(documents_df):
+    """documents -> junk-laden pages (same schema as pages_from_documents);
+    input for the extract_prepped_text driver query."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(i, s) for i, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": pd.to_datetime(
+                        pdf["doc_id"] * 37, unit="s", origin="2026-01-01"
+                    ),
+                    "html": [
+                        synthesize_junk_html(i, t, l).encode("utf-8")
+                        for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        synth, schema=PAGES_SCHEMA
+    )
+
+
 def synthesize_bench_html(doc_id, text, lang, n_paragraphs=80, n_nav_links=20):
     """Deterministic HEAVY page for throughput/scaling benchmarks: many
     paragraph elements and a link-dense nav, approximating real Common-Crawl

@@ -66,7 +66,29 @@ def parse_warc(data: bytes):
                 headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
                     "latin-1"
                 )
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            length = -1
+        if length < 0:
+            # Missing/malformed Content-Length: don't desynchronize the
+            # stream (a wrong read offset silently drops every remaining
+            # record) and don't raise (one bad record must not kill the
+            # whole archive's Spark task).  Scan forward to the next
+            # "\r\n\r\nWARC/" boundary and treat the span as the payload.
+            rest = buf.read()
+            nxt = rest.find(b"\r\n\r\nWARC/")
+            if nxt == -1:
+                nxt = rest.find(b"\n\nWARC/")
+                sep = 2
+            else:
+                sep = 4
+            if nxt == -1:
+                yield headers, rest
+                return
+            yield headers, rest[:nxt]
+            buf = io.BytesIO(rest[nxt + sep:])
+            continue
         payload = buf.read(length)
         yield headers, payload
 

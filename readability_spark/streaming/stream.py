@@ -22,6 +22,19 @@ from ..spark.job import extract_articles
 from ..spark.pages import PAGES_SCHEMA
 
 
+def _await_or_stop(query, timeout_secs):
+    """Wait for a bounded (AvailableNow) query; on timeout, stop it and
+    raise instead of letting the caller read a partially committed sink
+    as if it were complete."""
+    finished = query.awaitTermination(timeout_secs)
+    if not finished:
+        query.stop()
+        raise TimeoutError(
+            f"streaming query {query.name or query.id} still running after "
+            f"{timeout_secs}s; stopped without reading partial output"
+        )
+
+
 def read_pages_stream(spark, input_dir, max_files_per_trigger=None):
     """File-source stream of pages parquet dropped into ``input_dir``."""
     reader = spark.readStream.schema(PAGES_SCHEMA)
@@ -45,7 +58,7 @@ def stream_extract_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_secs)
+    _await_or_stop(query, timeout_secs)
     return spark.read.parquet(output_dir)
 
 
@@ -71,8 +84,33 @@ def run_windowed_counts_complete(spark, input_dir, query_name, timeout_secs=600)
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_secs)
+    _await_or_stop(query, timeout_secs)
     return spark.table(query_name)
+
+
+def advance_sessions(start, last, n, ts, gap_seconds, domain=None):
+    """Session-advance core shared by the stateful operator (pure, so the
+    cross-batch ordering semantics are unit-testable): fold sorted ``ts``
+    into the open session ``(start, last, n)``; returns the new open state
+    and the list of closed ``(domain, start, last, n)`` sessions.
+
+    An event at or before ``last`` (possible across micro-batches — sorting
+    is per batch only) merges into the open session instead of emitting a
+    spurious negative-gap split."""
+    closed = []
+    for t in ts:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t <= last:
+            start = min(start, t)
+            n += 1
+        elif t - last > gap_seconds:
+            closed.append((domain, start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last = t
+            n += 1
+    return (start, last, n), closed
 
 
 def domain_sessions(pages_stream, gap_seconds=120):
@@ -122,20 +160,13 @@ def domain_sessions(pages_stream, gap_seconds=120):
         else:
             start = last = None
             n = 0
-        closed = []
         ts = []
         for pdf in pdfs:
             ts.extend(int(t) for t in pdf["epoch"])
         ts.sort()
-        for t in ts:
-            if start is None:
-                start, last, n = t, t, 1
-            elif t - last > gap_seconds:
-                closed.append((domain, start, last, n))
-                start, last, n = t, t, 1
-            else:
-                last = t
-                n += 1
+        (start, last, n), closed = advance_sessions(
+            start, last, n, ts, gap_seconds, domain
+        )
         if start is not None:
             state.update((start, last, n))
         if closed:
@@ -169,5 +200,5 @@ def run_domain_sessions(spark, input_dir, query_name, gap_seconds=120, timeout_s
         .trigger(availableNow=True)
         .start()
     )
-    query.awaitTermination(timeout_secs)
+    _await_or_stop(query, timeout_secs)
     return spark.table(query_name)

@@ -112,11 +112,28 @@ class TestSelection:
         assert "Meaningful trailing prose" in texts
 
     def test_preserved_classes_sibling_kept(self):
+        kept_text = "Preserved supplementary prose that stands on its own."
         doc = parse_body(
-            f"<div id='art'><p>{LONG}</p></div><div class='page' id='pg'>k</div>"
+            f"<div id='art'><p>{LONG}</p></div>"
+            f"<div class='page' id='pg'>{kept_text}</div>"
         )
         wrapper = scoring.grab_article(doc, Options(min_text_length=0))
-        assert any(n.attrs.get("id") == "pg" for n in wrapper.children)
+        assert kept_text in wrapper.text()
+        # a near-empty preserved sibling is still selected but then pruned by
+        # the prep pass (mozilla _cleanConditionally ignores preserved classes)
+        doc2 = parse_body(
+            f"<div id='art'><p>{LONG}</p></div><div class='page' id='pg'>k</div>"
+        )
+        w2 = scoring.grab_article(doc2, Options(min_text_length=0))
+        assert all(n.attrs.get("id") != "pg" for n in w2.children)
+        # fresh parse with prep off -> the preserved sibling survives
+        doc3 = parse_body(
+            f"<div id='art'><p>{LONG}</p></div><div class='page' id='pg'>k</div>"
+        )
+        w3 = scoring.grab_article(
+            doc3, Options(min_text_length=0, clean_conditionally=False)
+        )
+        assert any(n.attrs.get("id") == "pg" for n in w3.children)
 
     def test_min_text_length_fallback_leaves_document_intact(self):
         html = "<html><body><div id='art'><p>Short, but a candidate anyway.</p></div></body></html>"

@@ -298,3 +298,39 @@ class TestSignLSH:
         assert buckets[3] == "00"
         pairs = lsh_cosine_pairs(emb, planes, threshold=0.9).collect()
         assert [(p.vec_a, p.vec_b, p.cosine) for p in pairs] == [(1, 2, 1.0)]
+
+
+class TestSessionAdvanceCore:
+    """Cross-batch ordering semantics of the sessionizer state machine
+    (streaming/stream.py::advance_sessions)."""
+
+    def test_in_order_gap_splits(self):
+        from readability_spark.streaming.stream import advance_sessions
+
+        state, closed = advance_sessions(None, None, 0, [10, 20, 300], 120, "d")
+        assert closed == [("d", 10, 20, 2)]
+        assert state == (300, 300, 1)
+
+    def test_out_of_order_cross_batch_event_merges(self):
+        from readability_spark.streaming.stream import advance_sessions
+
+        # batch 1 left an open session ending at t=200
+        state, closed = advance_sessions(100, 200, 3, [150], 120, "d")
+        # a late t=150 must NOT split (200-150 would be a negative gap):
+        # it merges into the open session
+        assert closed == []
+        assert state == (100, 200, 4)
+
+    def test_out_of_order_event_before_start_extends_start(self):
+        from readability_spark.streaming.stream import advance_sessions
+
+        state, closed = advance_sessions(100, 200, 3, [50], 120, "d")
+        assert closed == []
+        assert state == (50, 200, 4)
+
+    def test_late_then_new_session(self):
+        from readability_spark.streaming.stream import advance_sessions
+
+        state, closed = advance_sessions(100, 200, 3, [150, 900], 120, "d")
+        assert closed == [("d", 100, 200, 4)]
+        assert state == (900, 900, 1)

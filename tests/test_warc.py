@@ -63,6 +63,25 @@ class TestParsing:
         rows = warc_to_page_rows(blob[: len(blob) - 20])
         assert len(rows) >= 1  # earlier intact members still parse
 
+    @pytest.mark.parametrize("bad", [b"", b"Content-Length: notanumber\r\n"],
+                             ids=["missing", "garbage"])
+    def test_malformed_content_length_resyncs(self, bad):
+        """A record without a usable Content-Length must not desynchronize
+        the reader (silently dropping every later record) nor raise: the
+        parser scans to the next WARC/ boundary and keeps going."""
+        good = build_warc(RECORDS, compress=False)
+        broken = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: metadata\r\n" + bad + b"\r\n"
+            b"some stray payload without a length\r\n\r\n" + good
+        )
+        parsed = list(parse_warc(broken))
+        types = [h["warc-type"] for h, _ in parsed]
+        assert types[0] == "metadata"
+        assert types.count("response") == 2  # every later record recovered
+        rows = warc_to_page_rows(broken)
+        assert len(rows) == 2
+
 
 class TestSparkWarc:
     @pytest.fixture(scope="class")
