@@ -80,6 +80,16 @@ _TABLE_PARTS = frozenset(
 _REV = 0
 
 
+# Shared empty containers for leaf (text/comment/doctype) nodes.  HTML data
+# nodes can never hold children or attributes, so every leaf aliases these
+# singletons instead of allocating a fresh dict+list per node (~200 saved
+# allocations per Common-Crawl page — measurable memory-bandwidth relief at
+# 32 concurrent workers).  Invariant: tree mutators only ever append into /
+# remove from ELEMENT and DOCUMENT nodes, which get real containers.
+_NO_ATTRS: dict = {}
+_NO_CHILDREN: tuple = ()
+
+
 class Node:
     """A DOM node.  ``attrs`` is an insertion-ordered dict which matches
     html5ever's Vec<Attribute> semantics: ``set_attr`` updates in place when
@@ -91,10 +101,14 @@ class Node:
     def __init__(self, kind, name=None, attrs=None, data=None):
         self.kind = kind
         self.name = name
-        self.attrs = attrs if attrs is not None else {}
         self.data = data
         self.parent = None
-        self.children = []
+        if kind == ELEMENT or kind == DOCUMENT:
+            self.attrs = attrs if attrs is not None else {}
+            self.children = []
+        else:
+            self.attrs = _NO_ATTRS
+            self.children = _NO_CHILDREN
 
     # ------------------------------------------------------------------ tree
 
@@ -236,6 +250,15 @@ class Node:
 
 def new_element(name, attrs=None):
     return Node(ELEMENT, name=name, attrs=dict(attrs) if attrs else {})
+
+
+def _adopt(parent, child):
+    """Parse-time append: the tree builder only ever appends freshly created
+    nodes (never re-parents), so the detach check and per-append ``_REV``
+    bump in ``append_child`` are dead weight there — ``finish()`` bumps the
+    revision once for the whole parse."""
+    child.parent = parent
+    parent.children.append(child)
 
 
 def new_text(data):
@@ -426,7 +449,7 @@ class _TreeBuilder(HTMLParser):
     def _ensure_html(self, attrs=None):
         if self.html is None:
             self.html = new_element("html", attrs)
-            self.document.append_child(self.html)
+            _adopt(self.document, self.html)
             self.stack.append(self.html)
         elif attrs:
             # <html> seen again: merge new attrs (first-wins per html5ever)
@@ -437,7 +460,7 @@ class _TreeBuilder(HTMLParser):
         self._ensure_html()
         if self.head is None:
             self.head = new_element("head", attrs)
-            self.html.append_child(self.head)
+            _adopt(self.html, self.head)
         if self.phase == 0:
             self.phase = 1
 
@@ -452,7 +475,7 @@ class _TreeBuilder(HTMLParser):
         self._close_head()
         if self.body is None:
             self.body = new_element("body", attrs)
-            self.html.append_child(self.body)
+            _adopt(self.html, self.body)
             # stack currently holds html at bottom
             self.stack.append(self.body)
         elif attrs:
@@ -476,9 +499,11 @@ class _TreeBuilder(HTMLParser):
             while table is not None and table.name != "table":
                 table = table.parent
             if table is not None and table.parent is not None:
-                table.parent.insert_before(node, table)
+                tp = table.parent
+                tp.children.insert(tp.children.index(table), node)
+                node.parent = tp
                 return
-        cur.append_child(node)
+        _adopt(cur, node)
 
     def _append_text(self, data):
         cur = self._current()
@@ -515,17 +540,17 @@ class _TreeBuilder(HTMLParser):
     def handle_decl(self, decl):
         if decl.lower().startswith("doctype"):
             node = Node(DOCTYPE, data=decl[len("doctype") :].strip())
-            self.document.append_child(node)
+            _adopt(self.document, node)
 
     def handle_comment(self, data):
         node = Node(COMMENT, data=data)
         if self.phase == 0 and self.html is None:
-            self.document.append_child(node)
+            _adopt(self.document, node)
         elif self.phase <= 1:
             self._ensure_head()
-            self.head.append_child(node)
+            _adopt(self.head, node)
         elif self.phase == 2:
-            self.html.append_child(node)
+            _adopt(self.html, node)
         else:
             self._insert(node)
 
@@ -566,8 +591,8 @@ class _TreeBuilder(HTMLParser):
                 if cur is not None and cur is not self.html and cur is not self.head
                 else self.head
             )
-            node = new_element(tag, attrd)
-            target.append_child(node)
+            node = Node(ELEMENT, name=tag, attrs=attrd)
+            _adopt(target, node)
             if tag not in VOID_ELEMENTS:
                 self.stack.append(node)
             return
@@ -593,26 +618,26 @@ class _TreeBuilder(HTMLParser):
         # table section synthesis
         if tag == "tr" and cur is not None and cur.name == "table":
             tbody = new_element("tbody")
-            cur.append_child(tbody)
+            _adopt(cur, tbody)
             self.stack.append(tbody)
             cur = tbody
         elif tag in ("td", "th") and cur is not None and cur.name == "table":
             tbody = new_element("tbody")
-            cur.append_child(tbody)
+            _adopt(cur, tbody)
             self.stack.append(tbody)
             tr = new_element("tr")
-            tbody.append_child(tr)
+            _adopt(tbody, tr)
             self.stack.append(tr)
             cur = tr
         elif tag in ("td", "th") and cur is not None and cur.name in _TABLE_SECTIONS:
             tr = new_element("tr")
-            cur.append_child(tr)
+            _adopt(cur, tr)
             self.stack.append(tr)
             cur = tr
         elif tag in _TABLE_SECTIONS and cur is not None and cur.name in _TABLE_SECTIONS:
             self.stack.pop()
 
-        node = new_element(tag, attrd)
+        node = Node(ELEMENT, name=tag, attrs=attrd)
         self._insert(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
@@ -670,15 +695,18 @@ class _TreeBuilder(HTMLParser):
         self._append_text(data)
 
     def _append_to(self, node, data):
-        last = node.last_child()
+        last = node.children[-1] if node.children else None
         if last is not None and last.kind == TEXT:
             last.data += data
         else:
-            node.append_child(new_text(data))
+            _adopt(node, new_text(data))
 
     def finish(self):
+        global _REV
         self.close()
         self._ensure_body()
+        # one revision bump covers every parse-time _adopt
+        _REV += 1
         return self.document
 
 
@@ -686,8 +714,12 @@ def parse_document(html):
     """Parse an HTML string into a DOCUMENT node (dom_query::Document::from)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8")
-    # html5ever input-stream preprocessing
-    html = html.replace("\r\n", "\n").replace("\r", "\n").replace("\x00", "�")
+    # html5ever input-stream preprocessing; conditional so the common clean
+    # input (no CR, no NUL) costs zero full-string copies
+    if "\r" in html:
+        html = html.replace("\r\n", "\n").replace("\r", "\n")
+    if "\x00" in html:
+        html = html.replace("\x00", "�")
     builder = _TreeBuilder()
     if _USE_STDLIB_TOKENIZER:
         builder.feed(html)

@@ -55,7 +55,7 @@ def run_pipeline(document, options=DEFAULT_OPTIONS, metadata=None):
     return ctx
 
 
-def extract(html, base_url=None, options=None):
+def extract(html, base_url=None, options=None, want_content=True):
     """Extract an Article from an HTML string or UTF-8 bytes.
 
     Public surface mirroring Readability::new(html, base_url, options).parse()
@@ -64,6 +64,13 @@ def extract(html, base_url=None, options=None):
     pipeline.rs:30 ignores it) — unused by default; with
     ``Options(fix_relative_uris=True)`` it feeds the opt-in mozilla
     fixRelativeUris pass (urifix.py).
+
+    ``want_content=False`` skips serializing the content HTML (the Article's
+    ``content`` is ``None``); every other field is computed identically.
+    This is the single-document end of the Spark layer's projection pushdown
+    (spark/job.py extract_articles article_columns): a 100 TB job whose
+    consumers only read ``text_content`` should not pay to build, ship, and
+    write a ~25 KB HTML string per row.
     """
     options = options or DEFAULT_OPTIONS
     document = dom.parse_document(html)
@@ -84,7 +91,7 @@ def extract(html, base_url=None, options=None):
     text_content = content_root.text()
     return Article(
         byline=ctx.metadata.byline,
-        content=dom.serialize(content_root),
+        content=dom.serialize(content_root) if want_content else None,
         dir=ctx.dir,
         excerpt=ctx.metadata.excerpt,
         lang=ctx.lang,
@@ -96,7 +103,7 @@ def extract(html, base_url=None, options=None):
     )
 
 
-def extract_row(html, options=None, base_url=None):
+def extract_row(html, options=None, base_url=None, want_content=True):
     """Failure-isolating wrapper for batch execution: returns
     ``(article_or_none, status, error)``.  A failed row must never kill the
     Arrow batch (SURVEY.md section 1.2).  Empty / undecodable input is
@@ -109,7 +116,11 @@ def extract_row(html, options=None, base_url=None):
             html = bytes(html).decode("utf-8")  # may raise UnicodeDecodeError
         if not html.strip():
             return None, "error", "empty document"
-        return extract(html, base_url=base_url, options=options), "ok", None
+        return (
+            extract(html, base_url=base_url, options=options, want_content=want_content),
+            "ok",
+            None,
+        )
     except ExtractionError as exc:
         return None, "error", str(exc)
     except Exception as exc:  # defensive: never crash the batch

@@ -29,6 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BooleanType,
@@ -103,8 +104,38 @@ def _output_schema(input_schema, html_col, keep_html):
     return StructType(passthrough + ARTICLE_FIELDS + STATUS_FIELDS)
 
 
+class MetricsAccumulatorParam(AccumulatorParam):
+    """Accumulator merging per-logical-partition extraction metrics:
+    ``{partition_id: [docs, ok, failed, cpu_ms]}``.  Lets the job collect
+    the north_rule's per-partition docs/sec + failure counts as a side
+    effect of the one extraction pass — no readback scan of the output.
+    Metrics-only by contract: a retried task double-counts its partition's
+    metrics, but lineage *correctness* (which partitions committed) never
+    depends on these values, only on the commit group's write succeeding."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for pid, m in b.items():
+            cur = a.get(pid)
+            if cur is None:
+                a[pid] = list(m)
+            else:
+                for i in range(4):
+                    cur[i] += m[i]
+        return a
+
+
 def extract_articles(
-    df: DataFrame, options=None, html_col="html", keep_html=False, base_url_col=None
+    df: DataFrame,
+    options=None,
+    html_col="html",
+    keep_html=False,
+    base_url_col=None,
+    article_columns=None,
+    metrics_acc=None,
+    partition_col="partition_id",
 ) -> DataFrame:
     """Add the Article columns to a pages DataFrame.
 
@@ -115,15 +146,40 @@ def extract_articles(
 
     ``base_url_col`` (e.g. ``"url"``) supplies each row's document URI to
     the opt-in fixRelativeUris pass (Options(fix_relative_uris=True)).
+
+    ``article_columns`` is projection pushdown into the UDF: an iterable of
+    Article column names to emit (default: all ten).  Catalyst prunes
+    columns it can see, but it cannot see inside a Python UDF — when the
+    consumer never reads ``content``, dropping it here skips building a
+    ~25 KB HTML string per row (dom.serialize) AND shipping it through
+    Arrow AND writing it to parquet.  status/error/extract_ms are always
+    emitted.
+
+    ``metrics_acc`` (an accumulator built with ``MetricsAccumulatorParam``)
+    collects per-``partition_col`` [docs, ok, failed, cpu_ms] as the pass
+    runs, so callers get per-partition throughput without re-scanning the
+    output.
     """
     options = options or DEFAULT_OPTIONS
-    out_schema = _output_schema(df.schema, html_col, keep_html)
-    pass_cols = [f.name for f in _passthrough_fields(df.schema, html_col, keep_html)]
+    if article_columns is None:
+        art_cols = list(_ARTICLE_COL_NAMES)
+    else:
+        art_cols = [c for c in _ARTICLE_COL_NAMES if c in set(article_columns)]
+        unknown = set(article_columns) - set(_ARTICLE_COL_NAMES)
+        if unknown:
+            raise ValueError(f"unknown article columns: {sorted(unknown)}")
+    want_content = "content" in art_cols
+    art_fields = [f for f in ARTICLE_FIELDS if f.name in art_cols]
+    passthrough = _passthrough_fields(df.schema, html_col, keep_html)
+    out_schema = StructType(passthrough + art_fields + STATUS_FIELDS)
+    pass_cols = [f.name for f in passthrough]
     out_cols = [f.name for f in out_schema.fields]
+    if metrics_acc is not None and partition_col not in df.columns:
+        raise ValueError(f"metrics_acc requires a {partition_col!r} column")
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {name: [] for name in _ARTICLE_COL_NAMES}
+            rows = {name: [] for name in art_cols}
             statuses, errors, timings = [], [], []
             bases = pdf[base_url_col] if base_url_col is not None else None
             for idx, raw in enumerate(pdf[html_col]):
@@ -132,23 +188,40 @@ def extract_articles(
                     raw,
                     options=options,
                     base_url=None if bases is None else bases.iloc[idx],
+                    want_content=want_content,
                 )
                 timings.append((time.perf_counter() - t0) * 1000.0)
                 statuses.append(status)
                 errors.append(error)
                 if article is None:
-                    for name in _ARTICLE_COL_NAMES:
+                    for name in art_cols:
                         rows[name].append(None)
                 else:
-                    for name in _ARTICLE_COL_NAMES:
+                    for name in art_cols:
                         rows[name].append(getattr(article, name))
             out = pdf[pass_cols].copy() if pass_cols else pd.DataFrame(index=pdf.index)
-            for name in _ARTICLE_COL_NAMES:
+            for name in art_cols:
                 out[name] = rows[name]
-            out["length"] = pd.array(rows["length"], dtype="Int64")
+            if "length" in rows:
+                out["length"] = pd.array(rows["length"], dtype="Int64")
             out["status"] = statuses
             out["error"] = errors
             out["extract_ms"] = timings
+            if metrics_acc is not None:
+                local: dict = {}
+                pids = pdf[partition_col]
+                for idx, status in enumerate(statuses):
+                    pid = int(pids.iloc[idx])
+                    m = local.get(pid)
+                    if m is None:
+                        m = local[pid] = [0, 0, 0, 0.0]
+                    m[0] += 1
+                    if status == "ok":
+                        m[1] += 1
+                    else:
+                        m[2] += 1
+                    m[3] += timings[idx]
+                metrics_acc.add(local)
             yield out[out_cols]
 
     return df.mapInPandas(run_batches, schema=out_schema)
@@ -256,6 +329,7 @@ def run_job(
     salt_n: int = 8,
     commit_groups: int = 4,
     options=None,
+    article_columns=None,
 ) -> JobReport:
     """Resumable extraction job with per-partition lineage.
 
@@ -267,6 +341,13 @@ def run_job(
     partitions — resume without recompute (north_rule).  On an Iceberg
     catalog each commit unit is one transactional append; the parquet
     layout here is the sandbox stand-in.
+
+    Per-partition metrics (docs, ok, failed, docs/sec) come from a metrics
+    accumulator fed by the extraction pass itself — the write is the only
+    scan of the data; nothing is read back.  ``article_columns`` prunes the
+    emitted Article columns (see extract_articles): a text-corpus job that
+    never consumes the content HTML should pass e.g.
+    ``("title", "text_content", "length", "lang")``.
     """
     t_start = time.time()
     trace = os.environ.get("READABILITY_JOB_TRACE") == "1"
@@ -298,40 +379,25 @@ def run_job(
         # physical partitioning: one shuffle, keyed by (logical partition,
         # salt) so hot domains spread while attribution stays logical
         subset = subset.repartition(len(group) * salt_n, "partition_id", "salt")
+        # metrics ride the extraction pass itself (no output readback scan)
+        acc = spark.sparkContext.accumulator({}, MetricsAccumulatorParam())
         extracted = extract_articles(
             subset.drop("salt"),
             options=options,
             # fixRelativeUris resolves against each row's own url
             base_url_col="url" if options is not None and options.fix_relative_uris else None,
+            article_columns=article_columns,
+            metrics_acc=acc,
         )
         append_ref(extracted, output_path, ("partition_id",))
         _t("extract_write", t0)
         finished_at = pd.Timestamp.utcnow().tz_localize(None)
         t0 = time.time()
 
-        # cheap readback of just-written partitions for metrics (column-pruned
-        # scan: status + extract_ms only)
-        written = read_ref(spark, output_path).filter(
-            F.col("partition_id").isin(group)
-        )
-        stats = (
-            written.groupBy("partition_id")
-            .agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok"),
-                F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("failed"),
-                (F.sum("extract_ms") / 1000.0).alias("cpu_secs"),
-            )
-            .collect()
-        )
-        by_pid = {r.partition_id: r for r in stats}
+        by_pid = acc.value
         lineage_rows = []
         for pid in group:
-            r = by_pid.get(pid)
-            docs = r.docs if r else 0
-            ok = r.ok if r else 0
-            failed = r.failed if r else 0
-            cpu = (r.cpu_secs if r else 0.0) or 0.0
+            docs, ok, failed, cpu_ms = by_pid.get(pid, (0, 0, 0, 0.0))
             lineage_rows.append(
                 (
                     run_id,
@@ -342,14 +408,14 @@ def run_job(
                     failed,
                     started_at.to_pydatetime(),
                     finished_at.to_pydatetime(),
-                    (docs / cpu) if cpu > 0 else None,
+                    (docs / (cpu_ms / 1000.0)) if cpu_ms > 0 else None,
                 )
             )
             total_docs += docs
             total_ok += ok
             total_failed += failed
             processed += 1
-        _t("readback_stats", t0)
+        _t("metrics_acc", t0)
         t0 = time.time()
         append_ref(spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_path)
         _t("lineage_write", t0)

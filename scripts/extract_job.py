@@ -56,6 +56,14 @@ def parse_args(argv):
         help="scoring-pass minimum candidate text length (default: reference's 500)",
     )
     p.add_argument(
+        "--article-columns",
+        default=None,
+        help="comma-separated Article columns to emit (projection pushdown "
+        "into the extraction UDF; e.g. 'title,text_content,length,lang' for "
+        "a text-corpus job that never consumes the content HTML — skips "
+        "serializing/shipping/writing ~25 KB of HTML per row)",
+    )
+    p.add_argument(
         "--warmup",
         action="store_true",
         help="run a small untimed extraction first so every Python worker has "
@@ -114,6 +122,11 @@ def main(argv=None):
         salt_n=args.salt_n,
         commit_groups=args.commit_groups,
         options=options,
+        article_columns=(
+            tuple(c.strip() for c in args.article_columns.split(",") if c.strip())
+            if args.article_columns
+            else None
+        ),
     )
     wall = time.time() - t0
 

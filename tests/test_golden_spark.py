@@ -249,3 +249,40 @@ def test_hot_domain_spreads_across_partitions_and_salts(spark, pages_df):
     a = {r.url: (r.partition_id, r.salt) for r in again.select("url", "partition_id", "salt").collect()}
     b = {r.url: (r.partition_id, r.salt) for r in hot.select("url", "partition_id", "salt").collect()}
     assert all(a[u] == b[u] for u in b)
+
+
+def test_article_columns_projection(spark, pages_df, extracted):
+    """Projection pushdown into the UDF: pruned run skips content entirely
+    but every surviving column is byte-identical to the full run."""
+    pruned = extract_articles(
+        pages_df, article_columns=("title", "text_content", "length", "lang")
+    )
+    cols = set(pruned.columns)
+    assert "content" not in cols and "byline" not in cols
+    assert {"title", "text_content", "length", "lang", "status", "error"} <= cols
+    rows = {r.url: r for r in pruned.collect()}
+    assert set(rows) == set(extracted)
+    for url, full in extracted.items():
+        p = rows[url]
+        assert (p.title, p.text_content, p.length, p.lang, p.status) == (
+            full.title, full.text_content, full.length, full.lang, full.status,
+        ), url
+
+
+def test_article_columns_unknown_rejected(spark, pages_df):
+    with pytest.raises(ValueError, match="unknown article columns"):
+        extract_articles(pages_df, article_columns=("text_content", "nope"))
+
+
+def test_want_content_skips_serialization():
+    """Local-tier check: want_content=False leaves content None and every
+    other Article field identical."""
+    from readability_spark.pipeline import extract
+
+    html = "<html><body><p>Hello&nbsp;world <b>bold</b></p><p>More.</p></body></html>"
+    full = extract(html)
+    lean = extract(html, want_content=False)
+    assert lean.content is None and full.content is not None
+    for f in ("byline", "dir", "excerpt", "lang", "length",
+              "published_time", "site_name", "text_content", "title"):
+        assert getattr(lean, f) == getattr(full, f), f
