@@ -190,6 +190,30 @@ def extract_prepped_text(spark, sf_dir):
 
 
 @_q(
+    "extract_media_text",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           text || ' Media notes ' || doc_id || '.' AS text_content
+    FROM documents
+    """,
+)
+def extract_media_text(spark, sf_dir):
+    """Second scoring-path page template (media-heavy, readability_spark/
+    spark/pages.py synthesize_media_html): a lazy image + noscript fallback,
+    a youtube embed, and a link-dense nested layout table all sit inside the
+    winning subtree.  The closed-form hash equality proves the noscript
+    unwrap ran, the embed survived prep's video allowlist without leaking
+    text, and the nested table was stripped by link density."""
+    from readability_spark.options import Options
+    from readability_spark.spark.pages import media_pages_from_documents
+
+    opts = Options(content_extraction=True, min_text_length=0)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = media_pages_from_documents(docs)
+    return extract_articles(pages, options=opts).select("url", "text_content")
+
+
+@_q(
     "readerable_flags",
     f"""
     WITH flags AS (

@@ -310,6 +310,100 @@ def svg_inline(i, rng):
     )
 
 
+def lazy_images(i, rng):
+    """Reference 'lazy-image-1/2/3' analog: placeholder img with data-src /
+    data-srcset next to a noscript real image; UnwrapNoscriptImages must
+    swap in the real img while preserving the lazy attrs
+    (/root/reference/src/stage/unwrap_noscript_images.rs:30-93)."""
+    variant = i % 3
+    if variant == 0:
+        media = (
+            '<img class="lazy" data-src="/real-1.jpg"/>'
+            '<noscript><img src="/real-1.jpg"/></noscript>'
+        )
+    elif variant == 1:
+        media = (
+            '<img src="data:image/gif;base64,R0lGOD"/>'
+            '<noscript><img src="/hero.png" srcset="/hero-2x.png 2x"/></noscript>'
+        )
+    else:
+        media = (
+            '<figure><img data-srcset="/a.webp 1x,/b.webp 2x"/>'
+            '<noscript><img src="/a.webp"/></noscript></figure>'
+        )
+    return (
+        f"<html><body><h1>{_words(rng, 3).title()}</h1>"
+        f"<p>{_words(rng, 10)}.</p>{media}<p>{_words(rng, 7)}.</p></body></html>"
+    )
+
+
+def nested_tables(i, rng):
+    """Reference 'links-in-tables' analog: a layout table wrapping an inner
+    promo table; cells keep the TABLE-ancestor unlikely-candidate exception
+    while the scoring/prep path judges the whole table by link density."""
+    promo = "".join(f'<a href="/x/{i}/{j}">{_words(rng, 2)}</a>' for j in range(6))
+    return (
+        f"<html><body><p>{_words(rng, 12)}.</p>"
+        f'<table class="layout"><tr><td>'
+        f"<table><tr><td>{promo}</td><td>{_words(rng, 3)}</td></tr></table>"
+        f"</td></tr></table>"
+        f"<p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
+def multi_candidate(i, rng):
+    """Reference 'reordering-paragraphs' / multi-candidate analog: two
+    near-tied content containers; the scoring pass must pick the stronger
+    (more commas + length) and sibling-merge correctly."""
+    a = " ".join(f"{_words(rng, 9)}," for _ in range(4))
+    b = " ".join(f"{_words(rng, 6)}" for _ in range(3))
+    return (
+        f'<html><body><div class="article-body"><p>{a} end.</p>'
+        f"<p>{_words(rng, 11)}.</p></div>"
+        f'<div class="related"><p>{b}.</p></div>'
+        f"</body></html>"
+    )
+
+
+def comment_section(i, rng):
+    """Reference 'lifehacker-post-comment-load' analog: an article followed
+    by a comment block whose class matches the unlikely-candidate regex
+    (/root/reference/src/re.rs:12-13) — stripped unless rescued."""
+    comments = "".join(
+        f'<p><a href="/user/{j}">user{j}</a> {_words(rng, 4)}</p>' for j in range(5)
+    )
+    return (
+        f"<html><body><p>{_words(rng, 12)}.</p>"
+        f'<div class="comments-section">{comments}</div>'
+        f"<p>{_words(rng, 6)}.</p></body></html>"
+    )
+
+
+def embedded_videos(i, rng):
+    """Reference 'embedded-videos'/'videos-1' analog: youtube/vimeo iframes
+    inside content (the prep pass's video allowlist must keep them; raw-text
+    iframe content never reaches text_content)."""
+    host = "www.youtube.com/embed" if i % 2 == 0 else "player.vimeo.com/video"
+    return (
+        f"<html><body><p>{_words(rng, 10)}.</p>"
+        f'<iframe src="https://{host}/vid{i}" width="560" height="315"></iframe>'
+        f"<p>{_words(rng, 7)}.</p></body></html>"
+    )
+
+
+def deep_wrappers(i, rng):
+    """Deep wrapper-div nesting (framework-generated markup): exercises the
+    mozilla 5-level ancestor score-propagation cap and iterative tree walks."""
+    depth = 8 + i % 5
+    open_divs = "".join(f'<div class="wrap-{d}">' for d in range(depth))
+    close_divs = "</div>" * depth
+    return (
+        f"<html><body>{open_divs}"
+        f"<p>{_words(rng, 12)}.</p><p>{_words(rng, 9)}.</p>"
+        f"{close_divs}</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -332,6 +426,12 @@ FAMILIES = [
     ("table_content", table_content),
     ("social_buttons", social_buttons),
     ("svg_inline", svg_inline),
+    ("lazy_images", lazy_images),
+    ("nested_tables", nested_tables),
+    ("multi_candidate", multi_candidate),
+    ("comment_section", comment_section),
+    ("embedded_videos", embedded_videos),
+    ("deep_wrappers", deep_wrappers),
 ]
 
 
@@ -347,7 +447,7 @@ class FixtureRow:
 
 def build_rows(n=200):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
-    through the remaining families (each family >= 5 rows at n=200)."""
+    through the remaining families (each family >= 3 rows at n=200)."""
     rows = []
     others = FAMILIES[1:]
     other_idx = 0

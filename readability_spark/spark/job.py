@@ -306,6 +306,47 @@ def _read_lineage(spark, lineage_path):
         return None
 
 
+def _append_lineage(spark, lineage_rows, lineage_path):
+    """Append a handful of lineage rows.  These are driver-side metadata
+    (one row per logical partition per commit group); a path sink writes
+    them directly with pyarrow — spinning up a Spark job to persist 64 tiny
+    rows costs ~1.5 s of fixed overhead per commit group, which at small
+    commit units is pure scaling-efficiency loss.  Table refs (Iceberg)
+    still go through the engine so the append is transactional."""
+    from .sources import is_table_ref
+
+    if is_table_ref(lineage_path):
+        append_ref(spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_path)
+        return
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("run_id", pa.string()),
+            ("partition_id", pa.int32()),
+            ("status", pa.string()),
+            ("docs", pa.int64()),
+            ("ok", pa.int64()),
+            ("failed", pa.int64()),
+            ("started_at", pa.timestamp("us")),
+            ("finished_at", pa.timestamp("us")),
+            ("docs_per_sec", pa.float64()),
+        ]
+    )
+    cols = list(zip(*lineage_rows))
+    table = pa.Table.from_arrays(
+        [pa.array(col, type=field.type) for col, field in zip(cols, schema)],
+        schema=schema,
+    )
+    os.makedirs(lineage_path, exist_ok=True)
+    pq.write_table(
+        table, os.path.join(lineage_path, f"lineage-{uuid.uuid4().hex}.parquet")
+    )
+
+
 def completed_partitions(spark, lineage_path, run_id):
     lineage = _read_lineage(spark, lineage_path)
     if lineage is None:
@@ -417,7 +458,7 @@ def run_job(
             processed += 1
         _t("metrics_acc", t0)
         t0 = time.time()
-        append_ref(spark.createDataFrame(lineage_rows, LINEAGE_SCHEMA), lineage_path)
+        _append_lineage(spark, lineage_rows, lineage_path)
         _t("lineage_write", t0)
 
     wall = time.time() - t_start

@@ -173,6 +173,74 @@ def junk_pages_from_documents(documents_df):
     )
 
 
+def synthesize_media_html(doc_id, text, lang):
+    """Second scoring-path page template (media-heavy): the contract page
+    plus a lazy image with its noscript fallback, a youtube embed, and a
+    link-dense nested layout table INSIDE the winning subtree.
+
+    Closed-form scored+prepped output: UnwrapNoscriptImages swaps the real
+    img in (no text), the embed survives prep's video allowlist (no text),
+    the nested layout table is stripped by _cleanConditionally's link
+    density, and the <h1> drops as a title duplicate — so
+    text_content = text || ' Media notes {doc_id}.'  The DuckDB oracle
+    recomputing that closed form proves all three media behaviors at once.
+    """
+    title = f"Daily Report Number {doc_id} Edition"
+    body_text = _htmlmod.escape(text, quote=False)
+    promo_links = "".join(
+        f'<a href="/clip/{doc_id}/{j}">Clip {j}</a>' for j in range(8)
+    )
+    return (
+        f'<html lang="{lang}"><head>'
+        f"<title>{title} | ExampleSite</title>"
+        f'<meta property="og:site_name" content="ExampleSite"/>'
+        f'<meta name="author" content="Reporter {doc_id % 20}"/>'
+        f'<meta property="article:published_time" content="2026-02-{1 + doc_id % 27:02d}"/>'
+        f"</head><body>"
+        f'<div class="sidebar"><a href="/home">Home</a> nav junk</div>'
+        f'<div id="page-main"><h1>{title}</h1>'
+        f"<p>{body_text}</p>"
+        f'<img class="lazy" data-src="/img/{doc_id}.jpg"/>'
+        f'<noscript><img src="/img/{doc_id}.jpg"/></noscript>'
+        f'<iframe src="https://www.youtube.com/embed/vid{doc_id}" width="560" height="315"></iframe>'
+        f'<table class="layout"><tr><td>'
+        f"<table><tr><td>{promo_links}</td></tr></table>"
+        f"</td></tr></table>"
+        f"<p> Media notes {doc_id}.</p></div>"
+        f'<div style="display:none">hidden tracking pixel</div>'
+        f"<script>var t=1;</script>"
+        f"</body></html>"
+    )
+
+
+def media_pages_from_documents(documents_df):
+    """documents -> media-heavy pages (same schema as pages_from_documents);
+    input for the extract_media_text driver query."""
+
+    def synth(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        page_url(i, s) for i, s in zip(pdf["doc_id"], pdf["source"])
+                    ],
+                    "warc_ts": pd.to_datetime(
+                        pdf["doc_id"] * 37, unit="s", origin="2026-01-01"
+                    ),
+                    "html": [
+                        synthesize_media_html(i, t, l).encode("utf-8")
+                        for i, t, l in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+                    ],
+                    "text": pdf["text"],
+                    "lang": pdf["lang"],
+                }
+            )
+
+    return documents_df.select("doc_id", "text", "lang", "source").mapInPandas(
+        synth, schema=PAGES_SCHEMA
+    )
+
+
 def synthesize_bench_html(doc_id, text, lang, n_paragraphs=80, n_nav_links=20):
     """Deterministic HEAVY page for throughput/scaling benchmarks: many
     paragraph elements and a link-dense nav, approximating real Common-Crawl

@@ -21,14 +21,31 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def tokens(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+def tokens(docs: DataFrame, id_col="doc_id", text_col="text", max_df=None) -> DataFrame:
     """Distinct whitespace tokens per document (the token-set model used by
-    Jaccard / MinHash / SimHash here)."""
-    return (
+    Jaccard / MinHash / SimHash here).
+
+    ``max_df`` is the structural skew guard for inverted-index self-joins:
+    tokens appearing in more than ``max_df`` documents (stopwords, boilerplate
+    phrases) are dropped.  Without it, a token present in k documents
+    contributes k^2 rows to a token-equality self-join — one stopword across
+    10^8 documents is a 10^16-row skew bomb.  The frequent-token set is tiny
+    by construction (only tokens with df > max_df), so the filter is a
+    broadcast anti-join: map-only, no extra shuffle of the token table."""
+    tok = (
         docs.filter(F.trim(F.col(text_col)) != "")
         .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
         .distinct()
     )
+    if max_df is not None:
+        frequent = (
+            tok.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("token")
+        )
+        tok = tok.join(F.broadcast(frequent), "token", "left_anti")
+    return tok
 
 
 _MINHASH_LANES = 4  # 8-hex-char lanes carved from one 32-hex md5 digest

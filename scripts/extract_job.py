@@ -56,6 +56,14 @@ def parse_args(argv):
         help="scoring-pass minimum candidate text length (default: reference's 500)",
     )
     p.add_argument(
+        "--input-columns",
+        default=None,
+        help="comma-separated input columns to read (source column pruning: "
+        "the parquet/Iceberg scan then skips every other column's pages — "
+        "e.g. 'url,warc_ts,html' drops the crawl's raw text column, which "
+        "extraction never reads, before it is shuffled)",
+    )
+    p.add_argument(
         "--article-columns",
         default=None,
         help="comma-separated Article columns to emit (projection pushdown "
@@ -112,6 +120,10 @@ def main(argv=None):
 
     t0 = time.time()
     pages = read_ref(spark, args.input)
+    if args.input_columns:
+        pages = pages.select(
+            *[c.strip() for c in args.input_columns.split(",") if c.strip()]
+        )
     report = run_job(
         spark,
         pages,

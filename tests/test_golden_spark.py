@@ -100,8 +100,8 @@ def test_every_family_present(fixture_rows):
     from collections import Counter
 
     counts = Counter(r.family for r in fixture_rows)
-    assert len(counts) == 21
-    assert min(counts.values()) >= 4
+    assert len(counts) == 27
+    assert min(counts.values()) >= 3
 
 
 def test_determinism(spark, pages_df, extracted):

@@ -5,6 +5,33 @@ Verbatim ports; reference test names kept.  Cites:
 /root/reference/src/stage/{extract_dir.rs,extract_lang.rs,extract_title.rs,
 extract_byline.rs,extract_excerpt.rs,extract_json_ld.rs,extract_meta_tags.rs,
 unescape_html_entities.rs}, /root/reference/src/document.rs.
+
+1:1 case map (reference ``#[test]`` fn -> this file's test; identical names
+omitted).  Every reference test in the files above is ported:
+
+- document.rs (3/3): all identical names.
+- extract_dir.rs (4/4): returns_none_when_no_dir -> test_dir_returns_none_
+  when_no_dir; returns_none_when_dir_empty -> test_dir_returns_none_when_
+  dir_empty.
+- extract_lang.rs (5/5): returns_none_when_no_lang -> test_lang_returns_
+  none_when_no_lang; returns_none_when_lang_empty -> test_lang_returns_none_
+  when_lang_empty; extracts_xml_lang -> test_extracts_xml_lang_ignored (the
+  reference expects None for bare xml:lang — renamed for accuracy).
+- extract_title.rs (15/15): 13 in TITLE_CASES under identical names, plus
+  empty_returns_none -> test_title_empty_returns_none and
+  skips_when_title_already_set -> test_title_skips_when_already_set.
+- extract_byline.rs (9/9): 6 in BYLINE_CASES, plus empty_text_skipped ->
+  test_byline_empty_text_skipped; existing_byline_not_overwritten ->
+  test_byline_existing_not_overwritten; too_long_skipped ->
+  test_byline_too_long_skipped.
+- extract_excerpt.rs (4/4): each `X` -> test_excerpt_X
+  (no_paragraphs_leaves_excerpt_none -> test_excerpt_no_paragraphs_leaves_none).
+- extract_json_ld.rs (10/10): each `X` -> test_jsonld_X.
+- extract_meta_tags.rs (14/14): each `X` -> test_meta_X (author_meta ->
+  test_meta_author); test_meta_space_separated_properties is repo-added.
+- unescape_html_entities.rs (8/8): each `X` -> test_unescape_X
+  (invalid_codepoints_replaced_with_replacement_char ->
+  test_unescape_invalid_codepoints_replaced).
 """
 
 import pytest

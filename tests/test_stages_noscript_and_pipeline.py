@@ -4,6 +4,11 @@ single-document extraction semantics.
 Cites: /root/reference/src/stage/unwrap_noscript_images.rs:95-186,
 /root/reference/src/stage/element_limit.rs:10-27,
 /root/reference/src/readability.rs:38-63.
+
+1:1 case map: all 9 ``#[test]`` fns in unwrap_noscript_images.rs appear in
+NOSCRIPT_CASES under identical names (9/9).  element_limit.rs has no inline
+tests; the three element-limit tests here pin the stage's documented
+behavior (/root/reference/src/stage/element_limit.rs:10-27) directly.
 """
 
 import pytest

@@ -4,6 +4,14 @@ Every case is a verbatim port of a reference unit test; the reference test
 name is kept.  Cites: /root/reference/src/stage/{remove_disallowed_nodes.rs,
 remove_hidden_nodes.rs,remove_unlikely_candidates.rs,remove_empty_containers.rs,
 rewrite_font_tags.rs,rewrite_line_breaks.rs}.
+
+1:1 case map: every ``#[test]`` fn in the six files above appears here under
+its identical reference name — remove_disallowed_nodes.rs 3/3
+(DISALLOWED_CASES), remove_hidden_nodes.rs 11/11 (HIDDEN_CASES),
+remove_unlikely_candidates.rs 11/11 (UNLIKELY_CASES),
+remove_empty_containers.rs 9/9 (8 in EMPTY_CASES + removes_empty_headings),
+rewrite_font_tags.rs 4/4 (FONT_CASES), rewrite_line_breaks.rs 11/11
+(BR_CASES).
 """
 
 import pytest

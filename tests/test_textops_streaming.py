@@ -88,6 +88,37 @@ class TestMinHashLSH:
         assert s1 == s2 and len(s1) == 5 * 16
 
 
+class TestMaxDfGuard:
+    def test_stopword_tokens_dropped_bounds_candidates(self, spark):
+        """Structural skew guard: with max_df set, a stopword shared by every
+        document stops generating O(n^2) inverted-index join candidates."""
+        rows = [(i, f"the unique{i} word{i}", "en", "s") for i in range(20)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        unguarded = textops.tokens(docs)
+        guarded = textops.tokens(docs, max_df=5)
+        # 'the' appears in all 20 docs -> 20*19/2 = 190 candidate pairs unguarded
+        def pairs(tok):
+            a, b = tok.alias("a"), tok.alias("b")
+            return a.join(
+                b,
+                (F.col("a.token") == F.col("b.token"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).count()
+        assert pairs(unguarded) == 190
+        assert pairs(guarded) == 0
+        # rare tokens survive untouched
+        assert guarded.filter(F.col("token") == "unique3").count() == 1
+        assert guarded.filter(F.col("token") == "the").count() == 0
+
+    def test_max_df_none_is_identity(self, spark, docs):
+        assert (
+            textops.tokens(docs).count()
+            == textops.tokens(docs, max_df=None).count()
+        )
+
+
 class TestSimHash:
     def test_identical_docs_same_fingerprint(self, spark, docs):
         fp = {r.doc_id: r.simhash for r in textops.simhash(docs).collect()}
