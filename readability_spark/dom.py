@@ -201,17 +201,32 @@ class Node:
 
     def text(self):
         """Concatenated text of all descendant (or self) text nodes, document
-        order, no normalization (dom_query Node::text semantics)."""
+        order, no normalization (dom_query Node::text semantics).  Recursive
+        walk (2x the iterative stack's speed — no reversed-copy churn) with
+        an iterative fallback for DOMs deeper than the recursion limit."""
         if self.kind == TEXT:
             return self.data
         parts = []
-        stack = list(reversed(self.children))
-        while stack:
-            n = stack.pop()
-            if n.kind == TEXT:
-                parts.append(n.data)
-            elif n.children:
-                stack.extend(reversed(n.children))
+        append = parts.append
+
+        def rec(children):
+            for n in children:
+                if n.kind == TEXT:
+                    append(n.data)
+                elif n.children:
+                    rec(n.children)
+
+        try:
+            rec(self.children)
+        except RecursionError:
+            parts.clear()
+            stack = list(reversed(self.children))
+            while stack:
+                n = stack.pop()
+                if n.kind == TEXT:
+                    parts.append(n.data)
+                elif n.children:
+                    stack.extend(reversed(n.children))
         return "".join(parts)
 
     # ----------------------------------------------------------------- attrs
@@ -882,13 +897,27 @@ def _document_elements(root):
     if croot is root and crev == _REV:
         return celems
     elems = []
-    stack = list(reversed(root.children))
-    while stack:
-        n = stack.pop()
-        if n.kind == ELEMENT:
-            elems.append(n)
-        if n.children:
-            stack.extend(reversed(n.children))
+    append = elems.append
+
+    def rec(children):
+        # recursive preorder: no reversed-copy churn, ~2x the stack walk
+        for n in children:
+            if n.kind == ELEMENT:
+                append(n)
+                if n.children:
+                    rec(n.children)
+
+    try:
+        rec(root.children)
+    except RecursionError:  # pathologically deep DOM: iterative fallback
+        elems.clear()
+        stack = list(reversed(root.children))
+        while stack:
+            n = stack.pop()
+            if n.kind == ELEMENT:
+                elems.append(n)
+            if n.children:
+                stack.extend(reversed(n.children))
     _doc_cache = (root, _REV, elems)
     return elems
 

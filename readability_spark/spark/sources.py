@@ -41,10 +41,21 @@ def read_ref(spark, ref: str) -> DataFrame:
 
 def append_ref(df: DataFrame, ref: str, partition_cols=()) -> None:
     """Append to a ref.  Catalog tables use the V2 ``writeTo().append()``
-    (transactional on Iceberg); paths use a parquet append with hive-style
+    (transactional on Iceberg); v1 session-catalog tables (the only kind
+    this sandbox's built-in catalog serves) fall back to the name-matched
+    ``saveAsTable`` append, so the whole table-ref plumbing stays executable
+    without Iceberg jars.  Paths use a parquet append with hive-style
     partition dirs."""
     if is_table_ref(ref):
-        df.writeTo(ref[len(TABLE_PREFIX):]).append()
+        from pyspark.errors import AnalysisException
+
+        ident = ref[len(TABLE_PREFIX):]
+        try:
+            df.writeTo(ident).append()
+        except AnalysisException as exc:
+            if "v1 table" not in str(exc):
+                raise
+            df.write.mode("append").saveAsTable(ident)
         return
     writer = df.write.mode("append")
     if partition_cols:

@@ -95,3 +95,55 @@ class TestSingleDocCli:
 
         assert main(["/nonexistent.html"]) == 1
         assert "error:" in capsys.readouterr().err
+
+
+class TestTableRefJob:
+    """Exercise the catalog-table branch of sources.append_ref/read_ref end
+    to end: run_job writing articles + lineage to session-catalog tables
+    (v1 saveAsTable fallback; on an Iceberg catalog the same call path uses
+    the transactional V2 writeTo — sources.py docstring)."""
+
+    @pytest.fixture(scope="class")
+    def spark(self):
+        spark = get_spark(
+            app_name="tableref-tests", master="local[2]", shuffle_partitions=2
+        )
+        yield spark
+
+    def test_run_job_and_resume_on_catalog_tables(self, spark):
+        from readability_spark.fixtures import build_rows
+        from readability_spark.spark.job import (
+            LINEAGE_SCHEMA,
+            extract_articles,
+            run_job,
+            with_partition_id,
+        )
+
+        rows = build_rows(40)
+        pages = spark.createDataFrame(
+            [(r.url, r.warc_ts, r.html, r.text, r.lang) for r in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        try:
+            extract_articles(with_partition_id(pages, 4)).limit(0).writeTo(
+                "articles_ref_t"
+            ).using("parquet").create()
+            spark.createDataFrame([], LINEAGE_SCHEMA).writeTo(
+                "lineage_ref_t"
+            ).using("parquet").create()
+            rep = run_job(
+                spark, pages, "table:articles_ref_t", "table:lineage_ref_t",
+                run_id="t1", num_partitions=4, salt_n=2, commit_groups=2,
+            )
+            assert rep.docs == 40 and rep.partitions_processed == 4
+            # resume: lineage table says everything committed -> no recompute
+            rep2 = run_job(
+                spark, pages, "table:articles_ref_t", "table:lineage_ref_t",
+                run_id="t1", num_partitions=4, salt_n=2, commit_groups=2,
+            )
+            assert rep2.partitions_processed == 0
+            assert spark.table("articles_ref_t").count() == 40
+            assert spark.table("lineage_ref_t").count() == 4
+        finally:
+            spark.sql("DROP TABLE IF EXISTS articles_ref_t")
+            spark.sql("DROP TABLE IF EXISTS lineage_ref_t")

@@ -79,11 +79,12 @@ def _probe_worker(args):
         )
         for i in range(50)
     ]
+    # want_content=False matches the measured job's --article-columns config
     for p in pages[:10]:  # warm: imports done above, steady state
-        extract_row(p)
+        extract_row(p, want_content=False)
     t0 = time.perf_counter()
     for i in range(n):
-        extract_row(pages[i % 50])
+        extract_row(pages[i % 50], want_content=False)
     return n / (time.perf_counter() - t0)
 
 
