@@ -239,6 +239,109 @@ def readerable_flags_q(spark, sf_dir):
 
 
 @_q(
+    "url_dedup_normalized",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'https://' || (CASE WHEN (doc_id - doc_id % 3) % 10 < 4
+                            THEN 'Hot' ELSE 'www' END)
+             || '.Example.com/articles/doc-'
+             || lpad(CAST(doc_id - doc_id % 3 AS varchar), 6, '0') || '.html'
+             || (CASE doc_id % 3 WHEN 0 THEN '?utm_source=feed&utm_medium=rss'
+                 WHEN 1 THEN '#section-2' ELSE '/' END) AS url
+      FROM documents
+    ),
+    norm AS (
+      SELECT url,
+             regexp_replace(regexp_replace(lower(url), '[?#].*$', ''), '/+$', '')
+               AS norm_url
+      FROM raw
+    )
+    SELECT norm_url,
+           min(url) AS canonical_url,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM norm GROUP BY norm_url
+    """,
+)
+def url_dedup_normalized(spark, sf_dir):
+    """URL canonicalization dedup (crawl-frontier hygiene for a training
+    corpus): lowercase, strip query/fragment (tracker params), strip
+    trailing slashes, then hash-groupBy the normalized url.  The synthetic
+    variants (utm query, fragment, trailing slash over a shared base per
+    doc triple) guarantee real duplicate groups; built-ins only, one
+    shuffle on the normalized key — at crawl scale this is the same
+    map-side-combined groupBy as exact dedup."""
+    base_id = F.col("doc_id") - F.col("doc_id") % 3
+    url = F.concat(
+        F.lit("https://"),
+        F.when(base_id % 10 < 4, F.lit("Hot")).otherwise(F.lit("www")),
+        F.lit(".Example.com/articles/doc-"),
+        F.lpad(base_id.cast("string"), 6, "0"),
+        F.lit(".html"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("#section-2"))
+        .otherwise(F.lit("/")),
+    )
+    raw = _docs(spark, sf_dir).select(url.alias("url"))
+    norm = raw.select(
+        "url",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("url")), r"[?#].*$", ""), r"/+$", ""
+        ).alias("norm_url"),
+    )
+    return norm.groupBy("norm_url").agg(
+        F.min("url").alias("canonical_url"),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+    )
+
+
+@_q(
+    "decontam_sentence_overlap",
+    """
+    WITH bench AS (
+      SELECT DISTINCT md5(trim(s.sent)) AS h
+      FROM documents, unnest(string_split(text, '.')) AS s(sent)
+      WHERE doc_id % 97 = 0 AND trim(s.sent) != ''
+    ),
+    cand AS (
+      SELECT DISTINCT doc_id, md5(trim(s.sent)) AS h
+      FROM documents, unnest(string_split(text, '.')) AS s(sent)
+      WHERE doc_id % 97 != 0 AND trim(s.sent) != ''
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_sentences
+    FROM cand JOIN bench USING (h)
+    GROUP BY doc_id
+    """,
+)
+def decontam_sentence_overlap(spark, sf_dir):
+    """Benchmark decontamination for a training corpus: sentence-granularity
+    exact-overlap check of every candidate document against a benchmark set
+    (stand-in: the doc_id % 97 == 0 slice).  Sentences are hashed and the
+    benchmark hash set — small and fixed by construction at any corpus
+    scale — is broadcast, so the check is a map-only probe plus one
+    map-side-combined groupBy; no shuffle of the corpus itself."""
+    docs = _docs(spark, sf_dir)
+
+    def sentences(df):
+        return (
+            df.select(
+                "doc_id", F.explode(F.split(F.col("text"), r"\.")).alias("sent")
+            )
+            .filter(F.trim(F.col("sent")) != "")
+            .select("doc_id", F.md5(F.trim(F.col("sent"))).alias("h"))
+            .distinct()
+        )
+
+    bench = sentences(docs.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
+    cand = sentences(docs.filter(F.col("doc_id") % 97 != 0))
+    return (
+        cand.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_sentences"))
+    )
+
+
+@_q(
     "dedup_exact",
     """
     SELECT md5(text) AS text_hash,

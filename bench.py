@@ -111,6 +111,8 @@ def main():
 
     bench_set = [
         "extract_scored_text",
+        "extract_prepped_text",
+        "extract_media_text",
         "dedup_exact",
         "token_stats",
         "quality_score",

@@ -311,6 +311,21 @@ _CDATA_CLOSE = {
 # escape hatch for differential testing (tests/test_dom_tokenizer_diff.py)
 _USE_STDLIB_TOKENIZER = os.environ.get("READABILITY_STDLIB_TOKENIZER") == "1"
 
+# Tag-name intern cache: one lowercase string object per distinct tag name,
+# so repeated tags skip the per-occurrence str.lower() allocation and later
+# name comparisons are pointer-fast.  Bounded so adversarial pages with
+# unbounded distinct tag names cannot grow worker memory.
+_TAG_CACHE: dict = {}
+
+
+def _tag(raw):
+    t = _TAG_CACHE.get(raw)
+    if t is None:
+        t = raw.lower()
+        if len(_TAG_CACHE) < 4096:
+            _TAG_CACHE[raw] = t
+    return t
+
 
 class _TreeBuilder(HTMLParser):
     """HTML5-subset tree construction on top of the stdlib tokenizer.
@@ -379,25 +394,27 @@ class _TreeBuilder(HTMLParser):
                     return
                 # rawdata[i] == '<'
                 if self.cdata_elem is None:
-                    m = _SIMPLE_START.match(rawdata, i)
-                    if m is not None:
-                        tag = m.group(1).lower()
-                        if m.group(2):
-                            self.handle_startendtag(tag, [])
-                        else:
-                            self.handle_starttag(tag, [])
-                            if tag in self.CDATA_CONTENT_ELEMENTS:
-                                self.set_cdata_mode(tag)
-                        i = m.end()
-                        continue
-                    m = _SIMPLE_END.match(rawdata, i)
-                    if m is not None:
-                        self.handle_endtag(m.group(1).lower())
-                        i = m.end()
-                        continue
+                    if rawdata.startswith("</", i):
+                        m = _SIMPLE_END.match(rawdata, i)
+                        if m is not None:
+                            self.handle_endtag(_tag(m.group(1)))
+                            i = m.end()
+                            continue
+                    else:
+                        m = _SIMPLE_START.match(rawdata, i)
+                        if m is not None:
+                            tag = _tag(m.group(1))
+                            if m.group(2):
+                                self.handle_startendtag(tag, [])
+                            else:
+                                self.handle_starttag(tag, [])
+                                if tag in self.CDATA_CONTENT_ELEMENTS:
+                                    self.set_cdata_mode(tag)
+                            i = m.end()
+                            continue
                     m = _ATTR_START.match(rawdata, i)
                     if m is not None:
-                        tag = m.group(1).lower()
+                        tag = _tag(m.group(1))
                         attrs = {}
                         for am in _ATTR_ITEM.finditer(m.group(2)):
                             name = am.group(1).lower()
@@ -521,14 +538,23 @@ class _TreeBuilder(HTMLParser):
         _adopt(cur, node)
 
     def _append_text(self, data):
-        cur = self._current()
-        last = cur.last_child() if cur else None
+        stack = self.stack
+        cur = stack[-1] if stack else None
+        if cur is None:
+            self._ensure_body()
+            cur = self.stack[-1]
+        children = cur.children
+        last = children[-1] if children else None
         if (
             last is not None
             and last.kind == TEXT
             and not (cur.name in _FOSTER_CONTEXTS and data.strip() != "")
         ):
             last.data += data
+        elif cur.name not in _FOSTER_CONTEXTS:
+            node = new_text(data)  # inlined non-foster _insert
+            node.parent = cur
+            children.append(node)
         else:
             self._insert(new_text(data))
 
@@ -653,7 +679,10 @@ class _TreeBuilder(HTMLParser):
             self.stack.pop()
 
         node = Node(ELEMENT, name=tag, attrs=attrd)
-        self._insert(node)
+        if cur is not None and cur.name not in _FOSTER_CONTEXTS:
+            _adopt(cur, node)  # inlined _insert fast path
+        else:
+            self._insert(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
