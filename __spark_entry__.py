@@ -296,48 +296,60 @@ def url_dedup_normalized(spark, sf_dir):
 
 
 @_q(
-    "decontam_sentence_overlap",
+    "decontam_ngram_overlap",
     """
-    WITH bench AS (
-      SELECT DISTINCT md5(trim(s.sent)) AS h
-      FROM documents, unnest(string_split(text, '.')) AS s(sent)
-      WHERE doc_id % 97 = 0 AND trim(s.sent) != ''
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
     ),
-    cand AS (
-      SELECT DISTINCT doc_id, md5(trim(s.sent)) AS h
-      FROM documents, unnest(string_split(text, '.')) AS s(sent)
-      WHERE doc_id % 97 != 0 AND trim(s.sent) != ''
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_sentences
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]))
+               AS gram
+      FROM t WHERE len(arr) >= 4
+    ),
+    bench AS (SELECT DISTINCT md5(gram) AS h FROM g WHERE doc_id % 23 = 0),
+    cand  AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM g WHERE doc_id % 23 != 0)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
     FROM cand JOIN bench USING (h)
     GROUP BY doc_id
     """,
 )
-def decontam_sentence_overlap(spark, sf_dir):
-    """Benchmark decontamination for a training corpus: sentence-granularity
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination for a training corpus: word-4-gram
     exact-overlap check of every candidate document against a benchmark set
-    (stand-in: the doc_id % 97 == 0 slice).  Sentences are hashed and the
+    (stand-in: the doc_id % 23 == 0 slice).  N-grams are hashed and the
     benchmark hash set — small and fixed by construction at any corpus
     scale — is broadcast, so the check is a map-only probe plus one
-    map-side-combined groupBy; no shuffle of the corpus itself."""
-    docs = _docs(spark, sf_dir)
+    map-side-combined groupBy; the corpus itself is never shuffled."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(arr, i),
+            F.element_at(arr, i + 1),
+            F.element_at(arr, i + 2),
+            F.element_at(arr, i + 3),
+        ),
+    )
 
-    def sentences(df):
+    def ngrams(df):
         return (
-            df.select(
-                "doc_id", F.explode(F.split(F.col("text"), r"\.")).alias("sent")
-            )
-            .filter(F.trim(F.col("sent")) != "")
-            .select("doc_id", F.md5(F.trim(F.col("sent"))).alias("h"))
+            df.filter(F.size(arr) >= 4)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id", F.md5(F.col("gram")).alias("h"))
             .distinct()
         )
 
-    bench = sentences(docs.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
-    cand = sentences(docs.filter(F.col("doc_id") % 97 != 0))
+    bench = ngrams(docs.filter(F.col("doc_id") % 23 == 0)).select("h").distinct()
+    cand = ngrams(docs.filter(F.col("doc_id") % 23 != 0))
     return (
         cand.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("overlap_sentences"))
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap_ngrams"))
     )
 
 
@@ -822,6 +834,81 @@ def token_stats(spark, sf_dir):
             "n_distinct_tokens"
         ),
         F.regexp_count("text", F.lit(bpe)).alias("n_bpe_tokens"),
+    )
+
+
+@_q(
+    "repetition_filter",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    g AS (
+      SELECT doc_id, len(arr) - 2 AS total,
+             list_transform(range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS grams
+      FROM t WHERE len(arr) >= 3
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS total_3grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS distinct_3grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / total, 4)
+             AS dup_3gram_ratio
+    FROM g
+    """,
+)
+def repetition_filter(spark, sf_dir):
+    """Within-document repetition filter (the Gopher/MassiveText-style
+    duplicate-n-gram quality gate): fraction of repeated 3-grams per
+    document, map-only array expressions — no shuffle, no UDF, so the
+    filter costs one narrow projection at any corpus scale."""
+    arr = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(arr, i), F.element_at(arr, i + 1), F.element_at(arr, i + 2)
+        ),
+    )
+    base = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .filter(F.size(arr) >= 3)
+        .select("doc_id", grams.alias("grams"), (F.size(arr) - 2).alias("total"))
+    )
+    distinct_n = F.size(F.array_distinct(F.col("grams")))
+    return base.select(
+        "doc_id",
+        F.col("total").cast("long").alias("total_3grams"),
+        distinct_n.cast("long").alias("distinct_3grams"),
+        F.round(
+            F.lit(1.0) - distinct_n.cast("double") / F.col("total"), 4
+        ).alias("dup_3gram_ratio"),
+    )
+
+
+@_q(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS varchar)), 1, 4) <
+          (CASE WHEN lang = 'en' THEN '2000' ELSE '8000' END)
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction:
+    md5-threshold per stratum (here ~12.5% of 'en', ~50% of everything
+    else) — a pure map-side filter, reproducible across engines and runs
+    (no rand()), the way a 100 TB corpus is downsampled per language
+    without a shuffle."""
+    return (
+        _docs(spark, sf_dir)
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < F.when(F.col("lang") == "en", F.lit("2000")).otherwise(F.lit("8000"))
+        )
+        .select("doc_id", "lang")
     )
 
 

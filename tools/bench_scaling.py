@@ -156,6 +156,12 @@ def run_level(cores, pages_path, tag):
         # disk-bound term to every wall and distort the ratio.  tmpfs is the
         # faithful per-node-storage stand-in (identical conf at both levels).
         "--conf", "spark.local.dir=/dev/shm/readability_spark_local",
+        # the materialized input compresses ~10:1 (~6 MB files), so the
+        # default 128 MB split bins would give the scan stage only ~4 tasks
+        # — idle cores at local[32]; 8 MB bins restore map-side parallelism
+        # (identical conf at both levels)
+        "--conf", "spark.sql.files.maxPartitionBytes=8m",
+        "--conf", "spark.sql.files.openCostInBytes=1m",
         "--py-files", str(WORK / "readability_spark.zip"),
         str(REPO / "scripts" / "extract_job.py"),
         "--input", str(pages_path),
@@ -206,9 +212,12 @@ def partition_metrics(lineage_path):
 def main():
     sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
     n_paragraphs = int(os.environ.get("PAGE_PARAGRAPHS", "80"))
+    # the high pair runs 3x the documents: the north_rule criterion is about
+    # sustained throughput on a long job, and at 200k docs the 32-core wall
+    # (~20 s) is dominated by per-job fixed costs a 10^12-doc run amortizes
     pairs = [
         tuple(int(x) for x in p.split(":"))
-        for p in os.environ.get("PAIRS", "2:8:20,8:32:40").split(",")
+        for p in os.environ.get("PAIRS", "2:8:20,8:32:120").split(",")
     ]
 
     WORK.mkdir(parents=True, exist_ok=True)
