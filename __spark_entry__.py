@@ -1362,6 +1362,30 @@ def stream_extract_meta(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup_exact",
+    f"""
+    SELECT {_SQL_URL} AS url FROM documents
+    """,
+)
+def stream_dedup_exact_q(spark, sf_dir):
+    """Streaming exact dedup of the crawl landing zone: the input holds every
+    page TWICE (two parquet drops of the same pages table); dropDuplicates
+    state across micro-batches must emit each url exactly once, equal to the
+    batch distinct-url oracle."""
+    from readability_spark.streaming import stream_dedup_exact
+
+    base = _stream_workdir(sf_dir, "dedup")
+    pages = read_pages(spark, sf_dir).select("url", "warc_ts", "html", "text", "lang")
+    pages.write.mode("overwrite").parquet(str(base / "input"))
+    pages.write.mode("append").parquet(str(base / "input"))  # duplicate drop
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return stream_dedup_exact(
+        spark, str(base / "input"), str(base / "checkpoint"),
+        query_name=f"stream_dedup_{sf_tag}",
+    )
+
+
+@_q(
     "stream_windowed_counts",
     """
     SELECT date_trunc('hour', TIMESTAMP '2026-01-01 00:00:00'

@@ -88,6 +88,32 @@ def run_windowed_counts_complete(spark, input_dir, query_name, timeout_secs=600)
     return spark.table(query_name)
 
 
+def stream_dedup_exact(
+    spark, input_dir, checkpoint_dir, key_cols=("url",), query_name="stream_dedup",
+    timeout_secs=600,
+):
+    """Streaming exact dedup on the landing zone: ``dropDuplicates`` on the
+    key with dedup state checkpointed across micro-batches, so a url seen in
+    an earlier trigger (or an earlier bounded run resuming from the same
+    checkpoint) is never emitted again.  Bounded drain via AvailableNow.
+
+    At 10^12-document scale the unbounded-state form here becomes
+    ``dropDuplicatesWithinWatermark`` over the crawl timestamp so state is
+    evicted once the watermark passes — same plan shape, bounded memory."""
+    stream = read_pages_stream(spark, input_dir)
+    deduped = stream.select(*key_cols).dropDuplicates(list(key_cols))
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_stop(query, timeout_secs)
+    return spark.table(query_name)
+
+
 def advance_sessions(start, last, n, ts, gap_seconds, domain=None):
     """Session-advance core shared by the stateful operator (pure, so the
     cross-batch ordering semantics are unit-testable): fold sorted ``ts``

@@ -143,6 +143,35 @@ def main():
     if "Join" in winnow_plan:
         failures.append("winnow: must not contain a join")
 
+    # 8. decontamination probe: benchmark hash set broadcasts (map-only
+    # probe of the corpus side — no sort-merge shuffle of the candidates)
+    import __spark_entry__ as entrymod
+
+    allq = entrymod.queries()
+    check(
+        "decontam_broadcast_probe",
+        allq["decontam_ngram_overlap"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+    )
+
+    # 9. repetition filter is a pure narrow projection over the scan:
+    # no exchange, no join, no aggregate
+    check(
+        "repetition_filter_map_only",
+        allq["repetition_filter"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
+    # 10. stratified sampler: pure map-side filter, nothing else
+    check(
+        "sample_stratified_map_only",
+        allq["sample_stratified"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
