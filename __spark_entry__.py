@@ -758,6 +758,61 @@ def wet_text_stats(spark, sf_dir):
 
 
 @_q(
+    "wat_link_meta",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           'Daily Report Number ' || doc_id || ' Edition' AS title,
+           CAST(1 + doc_id % 3 AS INT) AS n_links,
+           '/promo/' || doc_id || '/0' AS first_link
+    FROM documents
+    """,
+)
+def wat_link_meta(spark, sf_dir):
+    """WAT-tier ingestion (the crawl's metadata sidecar): the corpus
+    packaged as gzipped WAT ``metadata`` records carrying the public
+    Common-Crawl JSON envelope (parsed head title + outlink list), read
+    back via the binaryFile connector and skimmed without touching any
+    HTML.  Oracle equality proves the JSON-envelope parser end to end."""
+    import shutil
+    from pathlib import Path
+
+    import pandas as pd
+
+    from readability_spark.spark.pages import page_url
+    from readability_spark.spark.warc import build_wat, read_wat_metadata
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    base = Path(f"/tmp/readability_wat/{sf}")
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    n_files = 4
+    for part in range(n_files):
+        sub = docs[docs["doc_id"] % n_files == part]
+        entries = [
+            (
+                page_url(r.doc_id, r.source),
+                "2026-03-01T00:00:00Z",
+                f"Daily Report Number {r.doc_id} Edition",
+                [f"/promo/{r.doc_id}/{j}" for j in range(1 + r.doc_id % 3)],
+            )
+            for r in sub.itertuples()
+        ]
+        (base / f"crawl-{part}.warc.wat.gz").write_bytes(
+            build_wat(entries, compress=True)
+        )
+    wat = read_wat_metadata(spark, str(base))
+    return wat.select(
+        "url",
+        "title",
+        "n_links",
+        F.element_at(F.col("links"), 1).alias("first_link"),
+    )
+
+
+@_q(
     "pdf_extract_text",
     """
     SELECT doc_id, text AS pdf_text, length(text) AS pdf_chars, 'ok' AS status
@@ -801,6 +856,66 @@ def multimodal_features(spark, sf_dir):
     from readability_spark.spark.multimodal import attach_payloads, extract_media_features
 
     return extract_media_features(attach_payloads(_docs(spark, sf_dir)))
+
+
+@_q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           CASE WHEN doc_id % 3 = 0
+                THEN md5('FAKE' || md5(text) || ':64x48')
+                ELSE md5('FAKE' || text) END AS payload_md5,
+           CASE WHEN doc_id % 3 = 0 THEN 64 ELSE NULL END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN 48 ELSE NULL END AS height,
+           CASE WHEN doc_id % 3 = 0 THEN 'ok' ELSE 'skipped' END AS status
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Media resize plumbing (spark/multimodal.py resize_media): image
+    payloads re-encoded at 64x48 in one vectorized pass, non-images pass
+    through untouched with status='skipped'.  The resizer is a
+    deterministic stub (no PIL in this container) so the oracle recomputes
+    the output payload hash in closed form; batch shape, schema, and
+    failure isolation are the production ones."""
+    from readability_spark.spark.multimodal import attach_payloads, resize_media
+
+    out = resize_media(attach_payloads(_docs(spark, sf_dir)), 64, 48)
+    return out.select(
+        "doc_id",
+        "media_type",
+        F.md5(F.col("payload")).alias("payload_md5"),
+        "width",
+        "height",
+        "status",
+    )
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id,
+           CAST(r.i AS INT) AS frame_idx,
+           CAST(((octet_length(encode(text)) * 7) % 60000 + 1000) * r.i // 4
+                AS BIGINT) AS frame_ts_ms,
+           md5(md5(text) || ':' || r.i) AS frame_md5,
+           'ok' AS status
+    FROM documents, range(4) r(i)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing (spark/multimodal.py
+    sample_video_frames): four evenly spaced frames per video payload,
+    exploded to one row each in a vectorized pass; non-video rows drop.
+    The sampler is a deterministic stub (no ffmpeg here) so timestamps and
+    per-frame hashes are closed-form; the explode/batch/failure plumbing is
+    production-shaped."""
+    from readability_spark.spark.multimodal import attach_payloads, sample_video_frames
+
+    return sample_video_frames(attach_payloads(_docs(spark, sf_dir)), n_frames=4)
 
 
 # ----------------------------------------------------------- text analysis

@@ -93,6 +93,132 @@ def fake_decode(payload: bytes):
     return digest, width, height
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_md5", StringType(), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def fake_resize(payload: bytes, width: int, height: int):
+    """Deterministic resize stand-in (a real one calls PIL/libvips in
+    ``decode_media``'s place): output payload = MAGIC + '<md5>:<WxH>'.
+    Same contract as production — new binary, new dims."""
+    if not payload.startswith(MAGIC):
+        raise ValueError("bad magic")
+    digest = hashlib.md5(payload[len(MAGIC):]).hexdigest()
+    return MAGIC + f"{digest}:{width}x{height}".encode()
+
+
+def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
+    """(doc_id, media_type, payload) -> RESIZED_SCHEMA: image payloads
+    re-encoded at (width, height), one vectorized mapInPandas pass.
+    Non-image rows pass through with status='skipped'; corrupt payloads
+    become status='error' rows, never dead batches.  At 100 TB this is
+    embarrassingly parallel over the table's existing partitioning —
+    payloads stay opaque bytes end to end."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ws, hs, statuses = [], [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                if payload is None:
+                    payloads.append(None); ws.append(None); hs.append(None)
+                    statuses.append("error")
+                    continue
+                if not mt.startswith("image/"):
+                    payloads.append(bytes(payload)); ws.append(None); hs.append(None)
+                    statuses.append("skipped")
+                    continue
+                try:
+                    payloads.append(fake_resize(bytes(payload), width, height))
+                    ws.append(width); hs.append(height); statuses.append("ok")
+                except Exception:
+                    payloads.append(None); ws.append(None); hs.append(None)
+                    statuses.append("error")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "status": statuses,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def fake_frame_sample(payload: bytes, n_frames: int):
+    """Deterministic frame-sampling stand-in (a real one drives ffmpeg):
+    duration derived from payload length, ``n_frames`` evenly spaced
+    timestamps, one md5 per frame."""
+    if not payload.startswith(MAGIC):
+        raise ValueError("bad magic")
+    body = payload[len(MAGIC):]
+    digest = hashlib.md5(body).hexdigest()
+    duration_ms = (len(body) * 7) % 60000 + 1000
+    frames = []
+    for i in range(n_frames):
+        ts = duration_ms * i // n_frames
+        frames.append((i, ts, hashlib.md5(f"{digest}:{i}".encode()).hexdigest()))
+    return frames
+
+
+def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
+    """(doc_id, media_type, payload) -> FRAME_SCHEMA, one row per sampled
+    frame of each video payload (non-video rows are dropped — a filter the
+    caller's plan pushes to the scan).  Vectorized mapInPandas; a corrupt
+    video yields a single status='error' row so failures stay visible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, md5s, statuses = [], [], [], [], []
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                if not mt.startswith("video/"):
+                    continue
+                if payload is None:
+                    ids.append(doc_id); idxs.append(0); tss.append(None)
+                    md5s.append(None); statuses.append("error")
+                    continue
+                try:
+                    for i, ts, fmd5 in fake_frame_sample(bytes(payload), n_frames):
+                        ids.append(doc_id); idxs.append(i); tss.append(ts)
+                        md5s.append(fmd5); statuses.append("ok")
+                except Exception:
+                    ids.append(doc_id); idxs.append(0); tss.append(None)
+                    md5s.append(None); statuses.append("error")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.array(tss, dtype="Int64"),
+                    "frame_md5": md5s,
+                    "status": statuses,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(df: DataFrame) -> DataFrame:
     """(doc_id, media_type, payload) -> FEATURE_SCHEMA rows, one vectorized
     mapInPandas pass; per-row failures become status='error' rows."""

@@ -23,6 +23,14 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from .pages import PAGES_SCHEMA
 
@@ -203,6 +211,110 @@ def read_wet_documents(spark, path) -> DataFrame:
 
 
 # ------------------------------------------------------------- test support
+
+
+WAT_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), True),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("title", StringType(), True),
+        StructField("n_links", IntegerType(), True),
+        StructField("links", ArrayType(StringType()), True),
+    ]
+)
+
+
+def wat_to_metadata_rows(data: bytes):
+    """(url, warc_ts, title, n_links, links) for every WAT ``metadata``
+    record.  WAT archives are WARC containers whose metadata records carry
+    a JSON envelope (public Common-Crawl WAT spec): the page's parsed head
+    title and outlink list live under Envelope → Payload-Metadata →
+    HTTP-Response-Metadata → HTML-Metadata.  Malformed JSON skips the one
+    record, never the archive."""
+    import json
+
+    rows = []
+    for headers, payload in parse_warc(data):
+        if headers.get("warc-type") != "metadata":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            continue
+        ts = headers.get("warc-date")
+        try:
+            env = json.loads(payload.decode("utf-8", errors="replace"))
+        except Exception:
+            continue
+        html_md = (
+            env.get("Envelope", {})
+            .get("Payload-Metadata", {})
+            .get("HTTP-Response-Metadata", {})
+            .get("HTML-Metadata", {})
+        )
+        title = (html_md.get("Head") or {}).get("Title")
+        links = [
+            l["url"]
+            for l in (html_md.get("Links") or [])
+            if isinstance(l, dict) and l.get("url")
+        ]
+        rows.append(
+            (
+                url,
+                pd.to_datetime(ts).tz_localize(None) if ts else None,
+                title,
+                len(links),
+                links,
+            )
+        )
+    return rows
+
+
+def read_wat_metadata(spark, path) -> DataFrame:
+    """WAT file(s) -> (url, warc_ts, title, n_links, links) DataFrame.
+
+    The metadata-tier ingest (crawl-parsed titles + link graph without
+    touching the raw HTML): same distribution model as read_warc_pages —
+    one binaryFile row per archive -> one parse task, records exploded in
+    mapInPandas.  Feeding the link column to the url-dedup / link-graph
+    queries replaces a full HTML parse with a JSON skim."""
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(wat_to_metadata_rows(bytes(blob)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "title", "n_links", "links"]
+            )
+
+    return files.mapInPandas(explode, schema=WAT_SCHEMA)
+
+
+def build_wat(entries, compress=False) -> bytes:
+    """Build a WAT file for tests: entries = [(url, date, title, links)].
+    Payloads follow the public Common-Crawl WAT JSON envelope shape."""
+    import json
+
+    records = []
+    for url, date, title, links in entries:
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": url},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Head": {"Title": title},
+                            "Links": [{"path": "A@/href", "url": l} for l in links],
+                        }
+                    }
+                },
+            }
+        }
+        records.append(
+            ("metadata", url, date, json.dumps(env).encode("utf-8"))
+        )
+    return build_warc(records, compress=compress)
 
 
 def build_warc(records, compress=False) -> bytes:

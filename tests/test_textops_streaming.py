@@ -202,6 +202,55 @@ class TestMultimodal:
         assert rows[2].status == "error" and rows[2].n_bytes is None
 
 
+class TestMultimodalTransforms:
+    def test_resize_images_only(self, spark, docs):
+        from readability_spark.spark.multimodal import fake_resize, resize_media
+
+        rows = {
+            r.doc_id: r
+            for r in resize_media(attach_payloads(docs), 64, 48).collect()
+        }
+        assert len(rows) == 5
+        img = rows[0]  # doc_id % 3 == 0 -> image/png
+        assert img.status == "ok" and (img.width, img.height) == (64, 48)
+        assert bytes(img.payload) == fake_resize(
+            MAGIC + b"alpha beta gamma delta epsilon zeta", 64, 48
+        )
+        aud = rows[1]  # audio passes through untouched
+        assert aud.status == "skipped" and aud.width is None
+        assert bytes(aud.payload) == MAGIC + b"alpha beta gamma delta epsilon zeta"
+
+    def test_frame_sample_explodes_videos(self, spark, docs):
+        from readability_spark.spark.multimodal import (
+            fake_frame_sample,
+            sample_video_frames,
+        )
+
+        out = sample_video_frames(attach_payloads(docs), n_frames=4).collect()
+        # docs 2 (and any other doc_id % 3 == 2) are video -> 4 frames each
+        vids = {r.doc_id for r in out}
+        assert vids == {2} and len(out) == 4
+        expected = fake_frame_sample(
+            MAGIC + b"alpha beta gamma delta epsilon eta", 4
+        )
+        got = sorted((r.frame_idx, r.frame_ts_ms, r.frame_md5) for r in out)
+        assert got == expected
+        assert all(r.status == "ok" for r in out)
+
+    def test_corrupt_video_isolated(self, spark):
+        from readability_spark.spark.multimodal import sample_video_frames
+
+        bad = spark.createDataFrame(
+            [(1, "video/mp4", b"JUNKxxxx"), (2, "video/mp4", None),
+             (3, "image/png", b"FAKEfine")],
+            "doc_id long, media_type string, payload binary",
+        )
+        rows = sample_video_frames(bad, n_frames=4).collect()
+        by_id = {r.doc_id: r for r in rows}
+        assert set(by_id) == {1, 2}  # image row dropped
+        assert by_id[1].status == "error" and by_id[2].status == "error"
+
+
 class TestStreaming:
     def test_stream_drain_equals_batch(self, spark, docs, tmp_path_factory):
         base = tmp_path_factory.mktemp("stream")

@@ -181,3 +181,43 @@ class TestWetSpark:
             assert rows[0].lang == "eng"
         finally:
             spark.stop()
+
+
+def test_wat_rows_local():
+    """WAT metadata records parse title + links from the public CC JSON
+    envelope; malformed JSON and url-less records skip, not crash."""
+    import json
+
+    from readability_spark.spark.warc import (
+        build_warc,
+        build_wat,
+        wat_to_metadata_rows,
+    )
+
+    wat = build_wat(
+        [
+            ("https://a.test/1", "2026-03-01T00:00:00Z", "Title One",
+             ["/x", "/y"]),
+            ("https://a.test/2", "2026-03-01T00:00:00Z", None, []),
+        ]
+    )
+    # append a malformed-JSON metadata record and a non-metadata record
+    junk = build_warc(
+        [
+            ("metadata", "https://a.test/bad", "2026-03-01T00:00:00Z", b"{not json"),
+            ("response", "https://a.test/resp", "2026-03-01T00:00:00Z", b"<html></html>"),
+        ]
+    )
+    rows = wat_to_metadata_rows(wat + junk)
+    assert [(r[0], r[2], r[3], r[4]) for r in rows] == [
+        ("https://a.test/1", "Title One", 2, ["/x", "/y"]),
+        ("https://a.test/2", None, 0, []),
+    ]
+    # envelope shape matches the public spec path
+    env = json.loads(
+        build_wat([("u", "2026-03-01T00:00:00Z", "t", ["/l"])]).split(b"\r\n\r\n")[1]
+        .split(b"\r\n")[0]
+    )
+    assert env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"][
+        "HTML-Metadata"
+    ]["Head"]["Title"] == "t"
