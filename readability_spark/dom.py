@@ -951,10 +951,28 @@ def _document_elements(root):
     return elems
 
 
+def _collect_fast(children, append, fast_tags):
+    for n in children:
+        if n.kind == ELEMENT and n.name in fast_tags:
+            append(n)
+        if n.children:
+            _collect_fast(n.children, append, fast_tags)
+
+
+def _collect_match(children, append, alts):
+    for n in children:
+        if n.kind == ELEMENT and _matches_compiled(n, alts):
+            append(n)
+        if n.children:
+            _collect_match(n.children, append, alts)
+
+
 def select(root, selector):
     """All descendant elements of ``root`` matching ``selector``, in document
     order (dom_query Document/Selection::select).  Document-level selects
-    filter the cached flat element list; subtree selects stream the walk."""
+    filter the cached flat element list; subtree selects use the recursive
+    preorder walk (same 2x-over-explicit-stack win as _document_elements)
+    with an iterative fallback for pathologically deep DOMs."""
     alts, fast_tags = compile_selector(selector)
     if root.kind == DOCUMENT:
         elems = _document_elements(root)
@@ -962,6 +980,15 @@ def select(root, selector):
             return [n for n in elems if n.name in fast_tags]
         return [n for n in elems if _matches_compiled(n, alts)]
     out = []
+    try:
+        if fast_tags is not None:
+            _collect_fast(root.children, out.append, fast_tags)
+        else:
+            _collect_match(root.children, out.append, alts)
+        return out
+    except RecursionError:
+        pass
+    out.clear()
     stack = list(reversed(root.children))
     if fast_tags is not None:
         while stack:
