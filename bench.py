@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
-from readability_spark.spark.job import extract_articles, with_partition_id, with_salt
+from readability_spark.spark.job import extract_articles
 from readability_spark.spark.pages import pages_from_documents
 from readability_spark.spark.session import get_spark
 

@@ -6,7 +6,7 @@ single-document ``extract`` entry point (mirrors Readability::parse,
 from __future__ import annotations
 
 from . import dom, stages
-from .model import Article, Context, ExtractionError, Metadata
+from .model import Article, Context, ExtractionError
 from .options import DEFAULT_OPTIONS, Options
 
 DEFAULT_STAGES = (

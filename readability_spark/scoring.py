@@ -22,7 +22,6 @@ algorithm.
 
 from __future__ import annotations
 
-import math
 import re
 
 from . import dom
