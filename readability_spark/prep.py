@@ -101,15 +101,38 @@ def clean(root, tag):
 
 def clean_styles(root):
     """mozilla _cleanStyles: strip presentational attributes (and deprecated
-    width/height on table-ish elements).  svg subtrees are left alone."""
-    nodes = [root] if root.kind == dom.ELEMENT else []
-    nodes += [n for n in root.descendants() if n.kind == dom.ELEMENT]
-    for node in nodes:
-        if node.name == "svg" or any(a.name == "svg" for a in node.ancestors()):
-            continue
+    width/height on table-ish elements).  One top-down walk that declines to
+    descend into svg subtrees — O(n), no per-node ancestor scans (the per-
+    document hot path of the scored pipeline)."""
+
+    def strip(node):
         node.remove_attrs(PRESENTATIONAL_ATTRIBUTES)
         if node.name in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
             node.remove_attrs(("width", "height"))
+
+    def rec(children):
+        for n in children:
+            if n.kind != dom.ELEMENT or n.name == "svg":
+                continue
+            strip(n)
+            if n.children:
+                rec(n.children)
+
+    if root.kind == dom.ELEMENT:
+        if root.name == "svg":
+            return
+        strip(root)
+    try:
+        rec(root.children)
+    except RecursionError:  # pathologically deep DOM: iterative fallback
+        stack = list(root.children)
+        while stack:
+            n = stack.pop()
+            if n.kind != dom.ELEMENT or n.name == "svg":
+                continue
+            strip(n)
+            if n.children:
+                stack.extend(n.children)
 
 
 # ------------------------------------------------------------- data tables
@@ -127,7 +150,10 @@ def _has_single_tag_inside(element, tag):
 
 
 def _row_and_column_count(table):
-    """mozilla _getRowAndColumnCount (rowspan/colspan aware)."""
+    """mozilla _getRowAndColumnCount (rowspan/colspan aware).  Faithful to
+    the published getElementsByTagName semantics: ALL descendant ``tr``s and,
+    per row, ALL descendant ``td``s — ``th`` cells deliberately do NOT count
+    (a header-only table stays prunable as layout)."""
     rows = 0
     columns = 0
     for tr in dom.select(table, "tr"):
@@ -137,9 +163,7 @@ def _row_and_column_count(table):
             rowspan = 1
         rows += max(rowspan, 1)
         row_cols = 0
-        for cell in tr.children:
-            if cell.kind != dom.ELEMENT or cell.name not in ("td", "th"):
-                continue
+        for cell in dom.select(tr, "td"):
             try:
                 colspan = int(cell.attrs.get("colspan") or 1)
             except ValueError:
@@ -186,9 +210,11 @@ def mark_data_tables(root):
 
 
 def _has_ancestor_tag(node, tag, max_depth=3, filter_fn=None):
-    """mozilla _hasAncestorTag (max_depth <= 0 means unbounded)."""
+    """mozilla _hasAncestorTag (max_depth <= 0 means unbounded).  Mozilla's
+    guard is ``depth > maxDepth``, so maxDepth=3 inspects FOUR ancestor
+    levels (depth 0..3 inclusive) before giving up."""
     for depth, ancestor in enumerate(node.ancestors()):
-        if 0 < max_depth <= depth:
+        if 0 < max_depth < depth:
             return False
         if (
             ancestor.kind == dom.ELEMENT

@@ -323,18 +323,17 @@ def _append_lineage(spark, lineage_rows, lineage_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # derive the arrow schema from LINEAGE_SCHEMA so the two write paths
+    # cannot drift when a lineage field is added or reordered
+    _pa_types = {
+        StringType(): pa.string(),
+        IntegerType(): pa.int32(),
+        LongType(): pa.int64(),
+        TimestampType(): pa.timestamp("us"),
+        DoubleType(): pa.float64(),
+    }
     schema = pa.schema(
-        [
-            ("run_id", pa.string()),
-            ("partition_id", pa.int32()),
-            ("status", pa.string()),
-            ("docs", pa.int64()),
-            ("ok", pa.int64()),
-            ("failed", pa.int64()),
-            ("started_at", pa.timestamp("us")),
-            ("finished_at", pa.timestamp("us")),
-            ("docs_per_sec", pa.float64()),
-        ]
+        [(f.name, _pa_types[f.dataType]) for f in LINEAGE_SCHEMA.fields]
     )
     cols = list(zip(*lineage_rows))
     table = pa.Table.from_arrays(

@@ -47,7 +47,7 @@ PAYLOAD_SCHEMA = StructType(
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
-        StructField("media_type", StringType(), False),
+        StructField("media_type", StringType(), True),
         StructField("n_bytes", LongType(), True),
         StructField("content_md5", StringType(), True),
         StructField("width", IntegerType(), True),
@@ -96,7 +96,7 @@ def fake_decode(payload: bytes):
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
-        StructField("media_type", StringType(), False),
+        StructField("media_type", StringType(), True),
         StructField("payload", BinaryType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
@@ -137,7 +137,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
         for pdf in batches:
             payloads, ws, hs, statuses = [], [], [], []
             for payload, mt in zip(pdf["payload"], pdf["media_type"]):
-                if payload is None:
+                if payload is None or mt is None:
                     payloads.append(None); ws.append(None); hs.append(None)
                     statuses.append("error")
                     continue
@@ -193,7 +193,9 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
             for doc_id, payload, mt in zip(
                 pdf["doc_id"], pdf["payload"], pdf["media_type"]
             ):
-                if not mt.startswith("video/"):
+                if mt is None or not mt.startswith("video/"):
+                    # null media_type is indistinguishable from non-video;
+                    # dropping matches the operator's video-only contract
                     continue
                 if payload is None:
                     ids.append(doc_id); idxs.append(0); tss.append(None)

@@ -53,7 +53,20 @@ def append_ref(df: DataFrame, ref: str, partition_cols=()) -> None:
         try:
             df.writeTo(ident).append()
         except AnalysisException as exc:
-            if "v1 table" not in str(exc):
+            # v1-session-catalog tables reject the V2 write path.  Gate the
+            # fallback on the stable error class (message wording varies by
+            # Spark version), with the message substring as a secondary
+            # signal; anything else (table missing, schema mismatch, ...)
+            # re-raises — saveAsTable would CREATE a missing table, which
+            # must stay an error on an append.
+            error_class = ""
+            # getCondition is the Spark 4 name; getErrorClass the 3.x one
+            get_class = getattr(exc, "getCondition", None) or getattr(
+                exc, "getErrorClass", None
+            )
+            if callable(get_class):
+                error_class = get_class() or ""
+            if error_class != "_LEGACY_ERROR_TEMP_1012" and "v1 table" not in str(exc):
                 raise
             df.write.mode("append").saveAsTable(ident)
         return

@@ -314,3 +314,44 @@ class TestEndToEndScored:
         )
         a = extract(html)  # no content_extraction: reference-parity path
         assert "<form" in a.content
+
+
+class TestPublishedSemanticsFidelity:
+    """Regression pins for mozilla-fidelity details (round-2 review)."""
+
+    def test_ancestor_tag_inspects_four_levels(self):
+        # mozilla _hasAncestorTag(maxDepth=3) checks ancestors at depth 0..3
+        doc = parse_body(
+            "<figure><div><div><div><ul id='deep'><li>x</li></ul></div></div></div></figure>"
+        )
+        ul = dom.select(doc, "ul")[0]
+        # figure is the 4th ancestor (depth 3): still found
+        assert prep._has_ancestor_tag(ul, "figure", max_depth=3)
+        doc2 = parse_body(
+            "<figure><div><div><div><div><ul id='deeper'><li>x</li></ul>"
+            "</div></div></div></div></figure>"
+        )
+        ul2 = dom.select(doc2, "ul")[0]
+        # figure is the 5th ancestor (depth 4): out of reach
+        assert not prep._has_ancestor_tag(ul2, "figure", max_depth=3)
+
+    def test_row_and_column_count_td_only_all_descendants(self):
+        # th cells do NOT count (header-only tables stay layout-prunable);
+        # td cells are counted through wrappers, per getElementsByTagName
+        doc = parse_body(
+            "<table id='h'><tr><th>a</th><th>b</th><th>c</th><th>d</th>"
+            "<th>e</th><th>f</th></tr></table>"
+        )
+        t = dom.select(doc, "table")[0]
+        rows, cols = prep._row_and_column_count(t)
+        assert (rows, cols) == (1, 0)
+
+    def test_clean_styles_skips_svg_subtree(self):
+        w = wrap(
+            '<p align="center">x</p>'
+            '<svg width="10"><circle bgcolor="red"></circle></svg>'
+        )
+        prep.clean_styles(w)
+        assert "align" not in dom.select(w, "p")[0].attrs
+        assert dom.select(w, "svg")[0].attrs.get("width") == "10"
+        assert dom.select(w, "circle")[0].attrs.get("bgcolor") == "red"

@@ -414,3 +414,21 @@ class TestSessionAdvanceCore:
         state, closed = advance_sessions(100, 200, 3, [150, 900], 120, "d")
         assert closed == [("d", 100, 200, 4)]
         assert state == (900, 900, 1)
+
+
+class TestMultimodalNullMetadata:
+    def test_null_media_type_never_kills_the_batch(self, spark):
+        from readability_spark.spark.multimodal import (
+            resize_media,
+            sample_video_frames,
+        )
+
+        rows = spark.createDataFrame(
+            [(1, None, b"FAKEx"), (2, "image/png", b"FAKEy"), (3, None, None)],
+            "doc_id long, media_type string, payload binary",
+        )
+        resized = {r.doc_id: r for r in resize_media(rows, 8, 8).collect()}
+        assert resized[1].status == "error" and resized[3].status == "error"
+        assert resized[2].status == "ok"
+        # frame sampler treats null media_type as non-video (dropped)
+        assert sample_video_frames(rows, n_frames=2).count() == 0
