@@ -18,9 +18,6 @@ opt-in ``Options(content_extraction=True)`` path so the default pipeline
 stays byte-identical to the reference's whole-document behavior.
 
 Documented divergences from Readability.js (each deliberate):
-  * lazy-image fixing (``_fixLazyImages``) is not repeated here — the
-    pipeline's UnwrapNoscriptImages stage (reference
-    ``stage/unwrap_noscript_images.rs``) already ran document-wide.
   * ``div``→``p`` renaming of paragraph-like divs happens here (on the
     selected subtree) rather than pre-scoring; scoring.py already treats
     paragraph-like divs as scorable, so candidate choice is unaffected.
@@ -133,6 +130,65 @@ def clean_styles(root):
             strip(n)
             if n.children:
                 stack.extend(n.children)
+
+
+# -------------------------------------------------------------- lazy images
+
+#: mozilla REGEXPS.b64DataUrl
+_B64_DATA_URL = re.compile(r"(?i)^data:\s*([^\s;,]+)\s*;\s*base64\s*,")
+#: the _fixLazyImages attribute heuristics (mozilla's literal regexes:
+#: the "other attribute contains an image" probe is case-insensitive, the
+#: srcset/src copy probes are not)
+_IMG_EXT_ANY = re.compile(r"(?i)\.(jpg|jpeg|png|webp)")
+_SRCSET_LIKE = re.compile(r"\.(jpg|jpeg|png|webp)\s+\d")
+_SRC_LIKE = re.compile(r"^\s*\S+\.(jpg|jpeg|png|webp)\S*\s*$")
+_B64_MARKER = re.compile(r"(?i)base64\s*")
+
+
+def fix_lazy_images(root):
+    """mozilla _fixLazyImages: drop tiny base64 placeholder ``src`` values
+    (when another attribute points at a real image), then promote lazy-load
+    attributes (``data-src``-style urls / ``data-srcset``-style descriptor
+    lists) into ``src``/``srcset`` on images and pictures — and synthesize
+    an ``<img>`` inside image-less ``<figure>``s carrying such attributes."""
+    for elem in dom.select(root, "img, picture, figure"):
+        src = elem.attrs.get("src")
+        if src:
+            m = _B64_DATA_URL.match(src)
+            if m:
+                # SVG can be a meaningful image in under 133 bytes
+                if m.group(1).lower() == "image/svg+xml":
+                    continue
+                could_remove = any(
+                    name != "src" and value and _IMG_EXT_ANY.search(value)
+                    for name, value in elem.attrs.items()
+                )
+                if could_remove:
+                    marker = _B64_MARKER.search(src)
+                    b64_start = (marker.start() if marker else 0) + 7
+                    if len(src) - b64_start < 133:
+                        elem.remove_attrs(("src",))
+
+        srcset = elem.attrs.get("srcset")
+        cls = (elem.attrs.get("class") or "").lower()
+        if (elem.attrs.get("src") or (srcset and srcset != "null")) and "lazy" not in cls:
+            continue
+        for name, value in list(elem.attrs.items()):
+            if name in ("src", "srcset", "alt") or not value:
+                continue
+            copy_to = None
+            if _SRCSET_LIKE.search(value):
+                copy_to = "srcset"
+            elif _SRC_LIKE.match(value):
+                copy_to = "src"
+            if copy_to is None:
+                continue
+            if elem.name in ("img", "picture"):
+                elem.set_attr(copy_to, value)
+            elif elem.name == "figure" and not dom.select(elem, "img, picture"):
+                img = dom.new_element("img")
+                img.set_attr(copy_to, value)
+                elem.append_child(img)
 
 
 # ------------------------------------------------------------- data tables
@@ -386,11 +442,13 @@ def prep_article(article, scores=None, title=None):
     ``clean_classes``; ``fixRelativeUris`` follows in the pipeline).
 
     Stage order mirrors Readability.js: styles → data-table marking →
-    conditional form/fieldset → unconditional embeds/footers/asides → share
-    widgets → input-ish controls → headers → conditional table/ul/div →
-    h1→h2 → empty paragraphs → stray <br> → single-cell table unwrap."""
+    lazy-image fixing → conditional form/fieldset → unconditional
+    embeds/footers/asides → share widgets → input-ish controls → headers →
+    conditional table/ul/div → h1→h2 → empty paragraphs → stray <br> →
+    single-cell table unwrap."""
     clean_styles(article)
     data_tables = mark_data_tables(article)
+    fix_lazy_images(article)
 
     clean_conditionally(article, "form", scores, data_tables)
     clean_conditionally(article, "fieldset", scores, data_tables)

@@ -355,3 +355,52 @@ class TestPublishedSemanticsFidelity:
         assert "align" not in dom.select(w, "p")[0].attrs
         assert dom.select(w, "svg")[0].attrs.get("width") == "10"
         assert dom.select(w, "circle")[0].attrs.get("bgcolor") == "red"
+
+
+class TestFixLazyImages:
+    """mozilla _fixLazyImages semantics (runs inside prep_article)."""
+
+    def test_tiny_b64_placeholder_removed_when_real_image_attr_exists(self):
+        w = wrap(
+            '<img src="data:image/gif;base64,R0lGODlhAQABAAD/ACwAAAAAAQABAAACADs=" '
+            'data-src="/real.jpg"/>'
+        )
+        prep.fix_lazy_images(w)
+        img = dom.select(w, "img")[0]
+        assert "src" in img.attrs and img.attrs["src"] == "/real.jpg"
+
+    def test_svg_data_uri_kept(self):
+        w = wrap('<img src="data:image/svg+xml;base64,AAAA" data-src="/real.jpg"/>')
+        prep.fix_lazy_images(w)
+        assert dom.select(w, "img")[0].attrs["src"].startswith("data:image/svg+xml")
+
+    def test_b64_src_without_image_attr_kept(self):
+        w = wrap('<img src="data:image/gif;base64,R0lGOD"/>')
+        prep.fix_lazy_images(w)
+        assert dom.select(w, "img")[0].attrs["src"].startswith("data:")
+
+    def test_lazy_class_promotes_data_src_even_with_src(self):
+        w = wrap('<img class="lazy loaded" src="/sprite.gif" data-src="/hero.png"/>')
+        prep.fix_lazy_images(w)
+        assert dom.select(w, "img")[0].attrs["src"] == "/hero.png"
+
+    def test_srcset_descriptor_promoted(self):
+        w = wrap('<img data-srcset="/a.webp 1x, /b.webp 2x"/>')
+        prep.fix_lazy_images(w)
+        assert dom.select(w, "img")[0].attrs["srcset"] == "/a.webp 1x, /b.webp 2x"
+
+    def test_imageless_figure_gets_img_child(self):
+        w = wrap('<figure data-src="/photo.jpeg"><figcaption>c</figcaption></figure>')
+        prep.fix_lazy_images(w)
+        imgs = dom.select(w, "img")
+        assert len(imgs) == 1 and imgs[0].attrs["src"] == "/photo.jpeg"
+
+    def test_figure_with_img_untouched(self):
+        w = wrap('<figure data-src="/photo.jpg"><img src="/real.png"/></figure>')
+        prep.fix_lazy_images(w)
+        assert len(dom.select(w, "img")) == 1
+
+    def test_non_lazy_img_with_src_untouched(self):
+        w = wrap('<img src="/already.png" data-src="/other.jpg"/>')
+        prep.fix_lazy_images(w)
+        assert dom.select(w, "img")[0].attrs["src"] == "/already.png"
