@@ -85,8 +85,13 @@ _REV = 0
 # singletons instead of allocating a fresh dict+list per node (~200 saved
 # allocations per Common-Crawl page — measurable memory-bandwidth relief at
 # 32 concurrent workers).  Invariant: tree mutators only ever append into /
-# remove from ELEMENT and DOCUMENT nodes, which get real containers.
-_NO_ATTRS: dict = {}
+# remove from ELEMENT and DOCUMENT nodes, which get real containers.  The
+# attrs singleton is a read-only MappingProxyType so an accidental mutation
+# on a leaf node raises immediately instead of contaminating every leaf in
+# the long-lived worker process.
+from types import MappingProxyType as _MappingProxyType
+
+_NO_ATTRS = _MappingProxyType({})
 _NO_CHILDREN: tuple = ()
 
 

@@ -65,6 +65,12 @@ STATUS_FIELDS = [
     StructField("extract_ms", DoubleType(), True),
 ]
 
+# docs/ok/failed/docs_per_sec are *at-least-once* metrics: they come from an
+# accumulator, so a retried task re-adds its partition's counts (speculation
+# is disabled in ENGINE_CONF; task retries after executor loss can still
+# inflate them).  Which partitions committed — the resume contract — depends
+# only on the (run_id, partition_id, status) rows, never on these counts;
+# exact counts are always derivable from the output table itself.
 LINEAGE_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
@@ -299,11 +305,53 @@ class JobReport:
     docs_per_sec: float
 
 
+class LineageCorruptError(RuntimeError):
+    """The lineage table exists but cannot be read.  Raised instead of
+    silently treating the run as fresh: recomputing over corrupt lineage
+    would re-append partitions that were already committed (duplicate
+    output rows), which is worse than failing loudly."""
+
+
 def _read_lineage(spark, lineage_path):
+    """Read the lineage table, distinguishing "no lineage yet" (fresh run →
+    None) from "lineage exists but is unreadable" (corrupt →
+    LineageCorruptError).  Silently treating corrupt lineage as fresh would
+    re-append already-committed partitions."""
+    from .sources import is_table_ref
+
+    local = not is_table_ref(lineage_path) and "://" not in lineage_path.replace(
+        "file://", ""
+    )
+    if local:
+        try:
+            entries = os.listdir(lineage_path.removeprefix("file://"))
+        except FileNotFoundError:
+            return None
+        if not any(
+            e.endswith(".parquet") and not e.startswith((".", "_")) for e in entries
+        ):
+            return None
+        try:
+            return read_ref(spark, lineage_path)
+        except Exception as exc:
+            raise LineageCorruptError(
+                f"lineage table at {lineage_path!r} exists but is unreadable; "
+                "refusing to resume (would duplicate committed partitions): "
+                f"{exc}"
+            ) from exc
     try:
         return read_ref(spark, lineage_path)
-    except Exception:
-        return None
+    except Exception as exc:
+        # remote path / table ref: missing ↔ corrupt is classified from the
+        # engine's error class (PATH_NOT_FOUND / TABLE_OR_VIEW_NOT_FOUND →
+        # fresh run); anything else is a real read failure
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "TABLE_OR_VIEW_NOT_FOUND" in msg:
+            return None
+        raise LineageCorruptError(
+            f"lineage at {lineage_path!r} could not be read; refusing to "
+            f"resume blind: {exc}"
+        ) from exc
 
 
 def _append_lineage(spark, lineage_rows, lineage_path):
@@ -341,21 +389,34 @@ def _append_lineage(spark, lineage_rows, lineage_path):
         schema=schema,
     )
     os.makedirs(lineage_path, exist_ok=True)
-    pq.write_table(
-        table, os.path.join(lineage_path, f"lineage-{uuid.uuid4().hex}.parquet")
-    )
+    # crash-safe commit: write to a dot-prefixed temp name (Spark/Hadoop
+    # readers skip '.'/'_' files) then atomically rename into place, so a
+    # crash mid-write (OOM/preemption — exactly the resume scenario lineage
+    # exists for) can never leave a truncated parquet the resume path reads
+    name = f"lineage-{uuid.uuid4().hex}.parquet"
+    tmp = os.path.join(lineage_path, f".{name}.tmp")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(lineage_path, name))
 
 
 def completed_partitions(spark, lineage_path, run_id):
     lineage = _read_lineage(spark, lineage_path)
     if lineage is None:
         return set()
-    rows = (
-        lineage.filter((F.col("run_id") == run_id) & (F.col("status") == "ok"))
-        .select("partition_id")
-        .distinct()
-        .collect()
-    )
+    try:
+        rows = (
+            lineage.filter((F.col("run_id") == run_id) & (F.col("status") == "ok"))
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+    except Exception as exc:
+        # the read is lazy: a truncated lineage file surfaces here, at the
+        # scan — same contract as _read_lineage, refuse to resume blind
+        raise LineageCorruptError(
+            f"lineage at {lineage_path!r} exists but failed to scan; refusing "
+            f"to resume (would duplicate committed partitions): {exc}"
+        ) from exc
     return {r.partition_id for r in rows}
 
 

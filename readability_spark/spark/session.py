@@ -44,6 +44,12 @@ ENGINE_CONF = {
     # set (plain-python sessions); spark-submit callers must pass it as
     # --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    # lineage metrics ride an accumulator off the extraction pass; a
+    # speculative duplicate task would double-count its partition's
+    # docs/ok/failed/cpu_ms, so speculation stays off for extraction jobs
+    # (lineage *correctness* — which partitions committed — never depends on
+    # accumulator values, but the reported counts should be exact)
+    "spark.speculation": "false",
 }
 
 

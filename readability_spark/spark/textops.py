@@ -29,9 +29,12 @@ def tokens(docs: DataFrame, id_col="doc_id", text_col="text", max_df=None) -> Da
     tokens appearing in more than ``max_df`` documents (stopwords, boilerplate
     phrases) are dropped.  Without it, a token present in k documents
     contributes k^2 rows to a token-equality self-join — one stopword across
-    10^8 documents is a 10^16-row skew bomb.  The frequent-token set is tiny
-    by construction (only tokens with df > max_df), so the filter is a
-    broadcast anti-join: map-only, no extra shuffle of the token table."""
+    10^8 documents is a 10^16-row skew bomb.  The frequent-token set's size
+    depends on the caller's max_df relative to the corpus (a tiny max_df on a
+    diverse corpus can make it huge), so the anti-join carries no forced
+    broadcast hint: AQE broadcasts it when it measures small and falls back
+    to a shuffled anti-join otherwise, instead of an F.broadcast() that
+    could OOM the driver on a pathological max_df."""
     tok = (
         docs.filter(F.trim(F.col(text_col)) != "")
         .select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
@@ -44,7 +47,7 @@ def tokens(docs: DataFrame, id_col="doc_id", text_col="text", max_df=None) -> Da
             .filter(F.col("df") > max_df)
             .select("token")
         )
-        tok = tok.join(F.broadcast(frequent), "token", "left_anti")
+        tok = tok.join(frequent, "token", "left_anti")
     return tok
 
 

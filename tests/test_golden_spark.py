@@ -145,6 +145,42 @@ def test_resume_without_recompute(spark, pages_df, tmp_path):
     assert clean == resumed
 
 
+def test_corrupt_lineage_fails_loudly(spark, pages_df, tmp_path):
+    """A truncated lineage parquet (crash mid-write before the atomic rename
+    existed) must NOT be silently treated as a fresh run — that would
+    re-append already-committed partitions.  And in-flight '.tmp' files are
+    invisible to the resume read (the crash-safe write contract)."""
+    from readability_spark.spark.job import LineageCorruptError, completed_partitions
+
+    out, lin = str(tmp_path / "a"), str(tmp_path / "l")
+    run_job(spark, pages_df, out, lin, run_id="c", num_partitions=4, salt_n=2, commit_groups=1)
+
+    # a leftover dot-prefixed temp file is ignored by the resume read
+    (Path(lin) / ".lineage-deadbeef.parquet.tmp").write_bytes(b"garbage")
+    assert completed_partitions(spark, lin, "c") == {0, 1, 2, 3}
+
+    # a truncated *committed-named* file fails loudly instead of recomputing
+    (Path(lin) / "lineage-corrupt.parquet").write_bytes(b"PAR1garbage")
+    with pytest.raises(LineageCorruptError):
+        completed_partitions(spark, lin, "c")
+
+    # missing lineage dir is still just "fresh run"
+    assert completed_partitions(spark, str(tmp_path / "nope"), "c") == set()
+
+
+def test_leaf_node_attrs_immutable():
+    """Leaf (TEXT/COMMENT) nodes alias a shared read-only attrs singleton —
+    mutating one must raise, not contaminate every leaf in the worker."""
+    from readability_spark import dom
+
+    doc = dom.parse_document(b"<p>hello</p>")
+    text_node = dom.select(doc, "p")[0].children[0]
+    assert text_node.kind == dom.TEXT
+    with pytest.raises((TypeError, AttributeError)):
+        text_node.set_attr("x", "1")
+    assert dict(text_node.attrs) == {}
+
+
 def test_lineage_schema_and_metrics(spark, pages_df, tmp_path):
     out, lin = str(tmp_path / "a"), str(tmp_path / "l")
     run_job(spark, pages_df, out, lin, run_id="m", num_partitions=4, salt_n=2, commit_groups=1)
