@@ -403,6 +403,85 @@ def clean_conditionally(root, tag, scores=None, data_tables=frozenset()):
             node.remove_from_parent()
 
 
+def _element_children(node):
+    return [c for c in node.children if c.kind == dom.ELEMENT]
+
+
+def _is_element_without_content(node):
+    """mozilla _isElementWithoutContent: empty text and every element child
+    accounted for by descendant ``br``/``hr`` counts (the published check
+    compares ``children.length`` against ``getElementsByTagName`` totals,
+    i.e. direct element children vs ALL descendant br+hr — ported
+    faithfully, quirks included)."""
+    if node.kind != dom.ELEMENT or node.text().strip():
+        return False
+    kids = _element_children(node)
+    return not kids or len(kids) == len(dom.select(node, "br")) + len(
+        dom.select(node, "hr")
+    )
+
+
+def _next_element_sibling(node):
+    n = node.next_sibling()
+    while n is not None and n.kind != dom.ELEMENT:
+        n = n.next_sibling()
+    return n
+
+
+def _next_element(node, root, ignore_self_and_kids=False):
+    """mozilla _getNextNode: element-only preorder successor, with the
+    ascent bounded at ``root`` (the article wrapper is detached, so an
+    unbounded ascent could never escape, but the bound makes that a
+    contract rather than an accident)."""
+    if not ignore_self_and_kids:
+        kids = _element_children(node)
+        if kids:
+            return kids[0]
+    while node is not None and node is not root:
+        sib = _next_element_sibling(node)
+        if sib is not None:
+            return sib
+        node = node.parent
+    return None
+
+
+def simplify_nested_elements(root):
+    """mozilla _simplifyNestedElements (runs in _postProcessContent between
+    _fixRelativeUris and _cleanClasses — order immaterial here: the pass
+    touches only div/section nodes, which neither carry URI attributes
+    _fixRelativeUris rewrites nor depend on class values).
+
+    Walking the article subtree in element preorder: remove div/section
+    nodes without content; unwrap a div/section whose single element child
+    is itself a div/section, copying the parent's attributes onto the child
+    (parent wins on name collision — setAttributeNode replace semantics).
+    Nodes whose id starts with ``readability`` (the article wrapper) are
+    exempt, as published."""
+    node = root
+    while node is not None:
+        if (
+            node is not root
+            and node.parent is not None
+            and node.name in ("div", "section")
+            and not (node.attrs.get("id") or "").startswith("readability")
+        ):
+            if _is_element_without_content(node):
+                nxt = _next_element(node, root, ignore_self_and_kids=True)
+                node.remove_from_parent()
+                node = nxt
+                continue
+            if _has_single_tag_inside(node, "div") or _has_single_tag_inside(
+                node, "section"
+            ):
+                child = next(c for c in node.children if c.kind == dom.ELEMENT)
+                for name, value in node.attrs.items():
+                    child.set_attr(name, value)
+                node.replace_with(child)
+                node = child
+                continue
+        node = _next_element(node, root)
+
+
 def clean_matched_nodes(root, predicate):
     """mozilla _cleanMatchedNodes: remove elements whose ``class id`` match
     string satisfies ``predicate`` (subtree skipped once removed)."""

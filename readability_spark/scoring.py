@@ -230,6 +230,11 @@ def grab_article(document, options, title=None):
         from .prep import prep_article
 
         prep_article(wrapper, final_scores, title=title)
+    # mozilla _postProcessContent: simplifyNestedElements runs on every
+    # parse output (not gated on cleanConditionally), before cleanClasses
+    from .prep import simplify_nested_elements
+
+    simplify_nested_elements(wrapper)
     clean_classes(wrapper, options)
     return wrapper
 

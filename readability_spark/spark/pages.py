@@ -113,7 +113,10 @@ def synthesize_junk_html(doc_id, text, lang):
     """The contract page plus the boilerplate families the prep pass
     (readability_spark/prep.py, mozilla _prepArticle) must strip INSIDE the
     winning subtree: a newsletter form, a link-dense layout table (negative
-    'promo' id signal), a share widget, and an empty paragraph.  The scored
+    'promo' id signal), a share widget, an empty paragraph, plus the
+    _simplifyNestedElements families — the closing-remarks paragraph sits
+    under a double single-child div wrapper (must unwrap without losing the
+    text) and an empty nested wrapper pair (must vanish).  The scored
     extraction output is therefore the same closed form as the plain
     contract page: text + ' Section {doc_id} closing remarks.' (the <h1> is
     dropped as a title duplicate) — the DuckDB oracle proves every junk
@@ -138,7 +141,9 @@ def synthesize_junk_html(doc_id, text, lang):
         f"<p>Subscribe to our newsletter now</p></form>"
         f'<table id="promo"><tr><td>{promo_links}</td></tr></table>'
         f'<div class="share-tools">Share on Social</div>'
-        f"<p> Section {doc_id} closing remarks.</p></div>"
+        f'<div class="deck"><div class="deck-inner">'
+        f"<p> Section {doc_id} closing remarks.</p></div></div>"
+        f'<div class="spacer"><div class="spacer-inner"> <br/> </div></div></div>'
         f'<div style="display:none">hidden tracking pixel</div>'
         f"<script>var t=1;</script>"
         f"</body></html>"

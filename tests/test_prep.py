@@ -404,3 +404,70 @@ class TestFixLazyImages:
         w = wrap('<img src="/already.png" data-src="/other.jpg"/>')
         prep.fix_lazy_images(w)
         assert dom.select(w, "img")[0].attrs["src"] == "/already.png"
+
+
+class TestSimplifyNestedElements:
+    """mozilla _simplifyNestedElements (Readability.js _postProcessContent):
+    unwrap single-child div/section chains, drop content-less div/section."""
+
+    def test_unwraps_single_child_div_chain(self):
+        w = wrap('<div class="outer"><div class="inner"><p>text</p></div></div>')
+        prep.simplify_nested_elements(w)
+        # both wrappers collapse onto the innermost div; parent attrs win
+        divs = dom.select(w, "div")
+        assert len(divs) == 1
+        assert divs[0].attrs["class"] == "outer"
+        assert dom.select(w, "p")[0].text() == "text"
+
+    def test_section_wrapping_section_unwrapped(self):
+        w = wrap("<section><section><p>body</p></section></section>")
+        prep.simplify_nested_elements(w)
+        assert len(dom.select(w, "section")) == 1
+
+    def test_parent_attrs_override_child_on_collision(self):
+        w = wrap('<div id="a" data-x="p"><div id="b" data-y="c"><p>t</p></div></div>')
+        prep.simplify_nested_elements(w)
+        d = dom.select(w, "div")[0]
+        assert d.attrs["id"] == "a"  # parent's id replaced the child's
+        assert d.attrs["data-x"] == "p" and d.attrs["data-y"] == "c"
+
+    def test_div_with_text_sibling_not_unwrapped(self):
+        w = wrap("<div>prose <div><p>t</p></div></div>")
+        prep.simplify_nested_elements(w)
+        assert len(dom.select(w, "div")) == 2
+
+    def test_empty_div_removed(self):
+        w = wrap("<p>keep</p><div>   <br/><hr/> </div>")
+        prep.simplify_nested_elements(w)
+        assert dom.select(w, "div") == []
+        assert dom.select(w, "p")[0].text() == "keep"
+
+    def test_empty_div_with_non_br_child_kept(self):
+        # img carries no text but is not br/hr -> node has "content"
+        w = wrap('<div><img src="/x.png"/></div>')
+        prep.simplify_nested_elements(w)
+        assert len(dom.select(w, "div")) == 1
+
+    def test_readability_id_wrapper_exempt(self):
+        w = wrap('<div id="readability-page-1"><div><p>t</p></div></div>')
+        prep.simplify_nested_elements(w)
+        # outer wrapper kept; its single-child inner div unwraps nothing
+        # (inner div's only child is a p, not a div/section)
+        ids = [d.attrs.get("id") for d in dom.select(w, "div")]
+        assert "readability-page-1" in ids
+
+    def test_non_div_section_tags_untouched(self):
+        w = wrap("<article><div><p>t</p></div></article>")
+        prep.simplify_nested_elements(w)
+        assert len(dom.select(w, "article")) == 1
+
+    def test_scored_pipeline_collapses_deep_wrappers(self):
+        html = (
+            "<html><body><div class='l1'><div class='l2'><div class='l3'>"
+            f"<p>{LONG}</p><p>{LONG}</p></div></div></div></body></html>"
+        )
+        opts = Options(content_extraction=True, min_text_length=0)
+        article = extract(html.encode(), options=opts)
+        # the nested single-child wrappers must not survive in the content
+        assert "l1" not in (article.content or "")
+        assert article.text_content.count(LONG.strip()[:30]) >= 2
