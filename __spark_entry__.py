@@ -374,6 +374,155 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+#: shared boilerplate appended to every document's paragraph list — the
+#: realistic paragraph-dedup target (site chrome repeated across a crawl)
+_PD_BOILER = "all rights reserved contact support"
+_PD_K = 5  # words per synthesized paragraph
+
+
+@_q(
+    "paragraph_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    p AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(
+                 generate_series(0, CAST(ceil(len(arr)/{_PD_K}.0) AS INT) - 1),
+                 i -> array_to_string(list_slice(arr, i*{_PD_K}+1, i*{_PD_K}+{_PD_K}), ' ')),
+               ['{_PD_BOILER}', 'follow ' || source || ' for more stories']
+             ) AS paras
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, CAST(u.i - 1 AS INT) AS para_idx, paras[u.i] AS para
+      FROM p, unnest(generate_series(1, len(paras))) AS u(i)
+    )
+    SELECT doc_id, para_idx, md5(para) AS para_hash,
+           row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) = 1
+             AS keep,
+           count(*) OVER (PARTITION BY md5(para)) AS dup_count
+    FROM e
+    """,
+)
+def paragraph_dedup(spark, sf_dir):
+    """Paragraph-level dedup (Lee et al. 2022 / CCNet-style, public
+    semantics): normalize -> hash paragraphs -> first occurrence by
+    (doc_id, para_idx) wins, repeats are flagged for dropping.  Documents
+    here carry no newlines, so paragraphs are synthesized deterministically
+    as fixed 5-word chunks plus two injected boilerplate paragraphs (one
+    corpus-wide, one per-source) — exactly the repeated-chrome shape the
+    operator exists to kill.
+
+    Scale: the chunking/explode is narrow (map-only); the ONLY exchange is
+    the hash partition on para_hash that both window functions share
+    (plan-checked, PLANS.md).  At 100 TB that is one shuffle of
+    (doc_id, para_idx, hash) triples — the paragraph text itself never
+    shuffles."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _PD_K
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+    paras = F.concat(
+        chunks,
+        F.array(
+            F.lit(_PD_BOILER),
+            F.concat(F.lit("follow "), F.col("source"), F.lit(" for more stories")),
+        ),
+    )
+    exploded = docs.select(
+        "doc_id", F.posexplode(paras).alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5(F.col("para")).alias("para_hash"))
+    by_hash = Window.partitionBy("para_hash")
+    order = by_hash.orderBy("doc_id", "para_idx")
+    return exploded.select(
+        "doc_id",
+        "para_idx",
+        "para_hash",
+        (F.row_number().over(order) == 1).alias("keep"),
+        F.count(F.lit(1)).over(by_hash).alias("dup_count"),
+    )
+
+
+#: PII patterns (public-knowledge conservative set; identical Java/RE2
+#: semantics so the DuckDB oracle replays them verbatim)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}"
+#: deterministic PII augmentation (the documents corpus is synthetic and
+#: PII-free, so the query plants one of each per row — the oracle proves
+#: the scrubber removed exactly what was planted plus anything incidental)
+_PII_RAW_SQL = (
+    "text || ' Contact reporter' || (doc_id % 20) || '@example.com or call"
+    " +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' via"
+    " 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || ' today.'"
+)
+
+
+@_q(
+    "pii_scrub",
+    f"""
+    WITH pii AS (SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{_PII_IPV4}')) AS BIGINT) AS n_ips
+    FROM pii
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    """PII scrubbing/redaction (standard training-data pipeline stage):
+    email / IPv4 / phone patterns replaced with typed redaction tokens,
+    plus per-document match counts for audit metrics.  Patterns are the
+    conservative public-knowledge set; replacement order email -> ip ->
+    phone so the later patterns can't match inside an already-redacted
+    span.
+
+    Scale: pure narrow projection over built-in regexp_replace /
+    regexp_count — zero exchanges, JVM-side codegen, no UDF; at 100 TB the
+    scrub rides whatever scan partitioning the corpus already has."""
+    docs = _docs(spark, sf_dir)
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact reporter"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("@example.com or call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" via 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" today."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(raw, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+    )
+
+
 @_q(
     "dedup_jaccard_pairs",
     """

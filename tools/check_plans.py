@@ -172,6 +172,26 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate"],
     )
 
+    # 11. paragraph dedup: the chunk/explode is narrow; both window
+    # functions share ONE hash partitioning on para_hash — exactly one
+    # Exchange in the whole plan, no join
+    pd_plan = plan_of(allq["paragraph_dedup"](spark, SF_DIR))
+    sections.append(("paragraph_dedup_one_exchange", pd_plan))
+    if len(re.findall(r"\(\d+\) Exchange", pd_plan)) != 1:
+        failures.append("paragraph_dedup: expected exactly one Exchange")
+    if "Join" in pd_plan:
+        failures.append("paragraph_dedup: must not contain a join")
+    if not re.search(r"Generate[\s\S]*Scan parquet", pd_plan):
+        failures.append("paragraph_dedup: expected the explode directly over the scan")
+
+    # 12. PII scrub: pure narrow projection (regexp built-ins), nothing else
+    check(
+        "pii_scrub_map_only",
+        allq["pii_scrub"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
