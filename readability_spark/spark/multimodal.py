@@ -1,12 +1,17 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads with typed
 metadata, decoded / feature-extracted in vectorized Arrow batches.
 
-The container has no image/audio/video libraries, so the actual media
-decoders are STUBS (``decode_media`` raises NotImplementedError; the
-pipeline uses ``fake_decode``, a deterministic md5-derived stand-in) — but
-every Spark-side piece is real and tested: the binary column schema, the
-``mapInPandas`` batch shape, partition behavior, and the failure-isolation
-contract (a corrupt payload yields status='error', never a dead batch).
+Decoder seam: each operator dispatches through ``decode_auto`` /
+``resize_auto`` / ``frames_auto``, which use the REAL implementation when
+the capability exists in the worker image (PIL for images, ffmpeg for
+video — probed lazily, cached per process) and fall back to the
+deterministic md5-derived stubs otherwise.  This container ships neither
+PIL nor ffmpeg, so in-sandbox runs take the stub path end to end (the
+oracle contract is stub-based); on a cluster image with codecs the same
+jobs decode for real with zero code change.  Every Spark-side piece is
+real and tested either way: the binary column schema, the ``mapInPandas``
+batch shape, partition behavior, and the failure-isolation contract (a
+corrupt payload yields status='error', never a dead batch).
 
 At 100 TB the same plan holds: payloads stay opaque bytes end to end (no
 JVM-side string conversion), batches are bounded by
@@ -17,6 +22,8 @@ parallel over whatever partitioning the upstream table already has.
 from __future__ import annotations
 
 import hashlib
+import io
+import shutil
 from typing import Iterator
 
 import pandas as pd
@@ -72,13 +79,57 @@ def attach_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- capability probes
+# Lazy, cached per worker process; module-level caches so tests can inject
+# a fake module/binary path to prove the real branch is taken.
+_UNPROBED = object()
+_PIL_CACHE = _UNPROBED
+_FFMPEG_CACHE = _UNPROBED
+
+
+def _pil():
+    """PIL's Image module when importable in this interpreter, else None."""
+    global _PIL_CACHE
+    if _PIL_CACHE is _UNPROBED:
+        try:
+            from PIL import Image as _img  # noqa: N813
+
+            _PIL_CACHE = _img
+        except ImportError:
+            _PIL_CACHE = None
+    return _PIL_CACHE
+
+
+def _ffmpeg():
+    """Path to the ffmpeg binary when present, else None."""
+    global _FFMPEG_CACHE
+    if _FFMPEG_CACHE is _UNPROBED:
+        _FFMPEG_CACHE = shutil.which("ffmpeg")
+    return _FFMPEG_CACHE
+
+
 def decode_media(payload: bytes, media_type: str):
-    """Real decoder entry point — NOT IMPLEMENTED in this container (no
-    PIL/ffmpeg/soundfile available).  Swap in a real implementation on a
-    cluster image that ships the codecs."""
+    """Real decoder entry point: PIL for image payloads when available.
+    Raises NotImplementedError when the capability is absent (audio/video
+    decode needs libs no probe found) — callers wanting graceful fallback
+    go through :func:`decode_auto`."""
+    if media_type and media_type.startswith("image/"):
+        img_mod = _pil()
+        if img_mod is not None:
+            img = img_mod.open(io.BytesIO(payload))
+            width, height = img.size
+            return hashlib.md5(payload).hexdigest(), int(width), int(height)
     raise NotImplementedError(
         f"no decoder for {media_type} in this environment; use fake_decode"
     )
+
+
+def decode_auto(payload: bytes, media_type: str):
+    """Seam used by :func:`extract_media_features`: the real decoder when
+    the worker image has it, the deterministic stub otherwise."""
+    if media_type and media_type.startswith("image/") and _pil() is not None:
+        return decode_media(payload, media_type)
+    return fake_decode(payload)
 
 
 def fake_decode(payload: bytes):
@@ -125,6 +176,23 @@ def fake_resize(payload: bytes, width: int, height: int):
     return MAGIC + f"{digest}:{width}x{height}".encode()
 
 
+def resize_image_real(payload: bytes, width: int, height: int):
+    """Real resize via PIL: decode, resize, re-encode PNG.  Only reachable
+    when :func:`_pil` found the library."""
+    img_mod = _pil()
+    img = img_mod.open(io.BytesIO(payload))
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue()
+
+
+def resize_auto(payload: bytes, width: int, height: int):
+    """Seam used by :func:`resize_media`: PIL when available, stub else."""
+    if _pil() is not None:
+        return resize_image_real(payload, width, height)
+    return fake_resize(payload, width, height)
+
+
 def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
     """(doc_id, media_type, payload) -> RESIZED_SCHEMA: image payloads
     re-encoded at (width, height), one vectorized mapInPandas pass.
@@ -146,7 +214,7 @@ def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
                     statuses.append("skipped")
                     continue
                 try:
-                    payloads.append(fake_resize(bytes(payload), width, height))
+                    payloads.append(resize_auto(bytes(payload), width, height))
                     ws.append(width); hs.append(height); statuses.append("ok")
                 except Exception:
                     payloads.append(None); ws.append(None); hs.append(None)
@@ -181,6 +249,45 @@ def fake_frame_sample(payload: bytes, n_frames: int):
     return frames
 
 
+def sample_frames_ffmpeg(payload: bytes, n_frames: int):
+    """Real frame sampling: ffprobe for duration, then one evenly-spaced
+    PNG frame per timestamp via ffmpeg.  Only reachable when
+    :func:`_ffmpeg` found the binary."""
+    import json
+    import subprocess
+    import tempfile
+
+    ffmpeg = _ffmpeg()
+    ffprobe = shutil.which("ffprobe") or "ffprobe"
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(payload)
+        f.flush()
+        probe = subprocess.run(
+            [ffprobe, "-v", "error", "-show_entries", "format=duration",
+             "-of", "json", f.name],
+            capture_output=True, check=True,
+        )
+        duration = float(json.loads(probe.stdout)["format"]["duration"])
+        frames = []
+        for i in range(n_frames):
+            ts = duration * i / n_frames
+            out = subprocess.run(
+                [ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
+                 "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-"],
+                capture_output=True, check=True,
+            )
+            frames.append((i, int(ts * 1000), hashlib.md5(out.stdout).hexdigest()))
+        return frames
+
+
+def frames_auto(payload: bytes, n_frames: int):
+    """Seam used by :func:`sample_video_frames`: ffmpeg when present on the
+    worker image, the deterministic stub otherwise."""
+    if _ffmpeg() is not None:
+        return sample_frames_ffmpeg(payload, n_frames)
+    return fake_frame_sample(payload, n_frames)
+
+
 def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """(doc_id, media_type, payload) -> FRAME_SCHEMA, one row per sampled
     frame of each video payload (non-video rows are dropped — a filter the
@@ -202,7 +309,7 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
                     md5s.append(None); statuses.append("error")
                     continue
                 try:
-                    for i, ts, fmd5 in fake_frame_sample(bytes(payload), n_frames):
+                    for i, ts, fmd5 in frames_auto(bytes(payload), n_frames):
                         ids.append(doc_id); idxs.append(i); tss.append(ts)
                         md5s.append(fmd5); statuses.append("ok")
                 except Exception:
@@ -228,7 +335,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes, md5s, ws, hs, statuses = [], [], [], [], []
-            for payload in pdf["payload"]:
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
                 if payload is None:
                     n_bytes.append(None)
                     md5s.append(None)
@@ -238,7 +345,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     continue
                 raw = bytes(payload)
                 try:
-                    digest, w, h = fake_decode(raw)
+                    digest, w, h = decode_auto(raw, mt)
                     n_bytes.append(len(raw) - len(MAGIC))
                     md5s.append(digest)
                     ws.append(w)

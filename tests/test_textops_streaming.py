@@ -432,3 +432,100 @@ class TestMultimodalNullMetadata:
         assert resized[2].status == "ok"
         # frame sampler treats null media_type as non-video (dropped)
         assert sample_video_frames(rows, n_frames=2).count() == 0
+
+
+class TestDecoderSeam:
+    """The real-decoder seam (VERDICT r2 item 5): decode_auto/resize_auto/
+    frames_auto take the REAL path when the capability probe finds
+    PIL/ffmpeg, and the deterministic stub path otherwise.  Probes are
+    monkeypatched module caches — no media libs in this container."""
+
+    def test_container_has_no_codecs_and_stub_path_runs(self):
+        from readability_spark.spark import multimodal as mm
+
+        # this container genuinely lacks both capabilities...
+        assert mm._pil() is None and mm._ffmpeg() is None
+        # ...so the auto seams produce exactly the stub results
+        payload = mm.MAGIC + b"hello"
+        assert mm.decode_auto(payload, "image/png") == mm.fake_decode(payload)
+        assert mm.resize_auto(payload, 3, 2) == mm.fake_resize(payload, 3, 2)
+        assert mm.frames_auto(payload, 2) == mm.fake_frame_sample(payload, 2)
+
+    def test_decode_auto_takes_pil_path_when_available(self, monkeypatch):
+        from readability_spark.spark import multimodal as mm
+
+        calls = []
+
+        class FakeImg:
+            size = (640, 480)
+
+            def resize(self, dims):
+                calls.append(("resize", dims))
+                return self
+
+            def save(self, buf, format=None):
+                calls.append(("save", format))
+                buf.write(b"png-bytes")
+
+        class FakePILImage:
+            @staticmethod
+            def open(buf):
+                calls.append(("open", buf.read()))
+                return FakeImg()
+
+        monkeypatch.setattr(mm, "_PIL_CACHE", FakePILImage)
+        digest, w, h = mm.decode_auto(b"real-image-bytes", "image/png")
+        assert ("open", b"real-image-bytes") in calls
+        assert (w, h) == (640, 480)
+        import hashlib
+
+        assert digest == hashlib.md5(b"real-image-bytes").hexdigest()
+        # non-image media still falls back to the stub even with PIL present
+        assert mm.decode_auto(mm.MAGIC + b"x", "audio/wav") == mm.fake_decode(
+            mm.MAGIC + b"x"
+        )
+
+    def test_resize_auto_takes_pil_path_when_available(self, monkeypatch):
+        from readability_spark.spark import multimodal as mm
+
+        class FakeImg:
+            size = (10, 10)
+
+            def resize(self, dims):
+                assert dims == (4, 3)
+                return self
+
+            def save(self, buf, format=None):
+                assert format == "PNG"
+                buf.write(b"resized-png")
+
+        class FakePILImage:
+            @staticmethod
+            def open(buf):
+                return FakeImg()
+
+        monkeypatch.setattr(mm, "_PIL_CACHE", FakePILImage)
+        assert mm.resize_auto(b"whatever", 4, 3) == b"resized-png"
+
+    def test_frames_auto_dispatches_to_ffmpeg_when_available(self, monkeypatch):
+        from readability_spark.spark import multimodal as mm
+
+        seen = {}
+
+        def fake_real(payload, n):
+            seen["args"] = (payload, n)
+            return [(0, 0, "d0"), (1, 500, "d1")]
+
+        monkeypatch.setattr(mm, "_FFMPEG_CACHE", "/usr/bin/ffmpeg")
+        monkeypatch.setattr(mm, "sample_frames_ffmpeg", fake_real)
+        assert mm.frames_auto(b"vid", 2) == [(0, 0, "d0"), (1, 500, "d1")]
+        assert seen["args"] == (b"vid", 2)
+
+    def test_decode_media_raises_without_capability(self, monkeypatch):
+        from readability_spark.spark import multimodal as mm
+
+        monkeypatch.setattr(mm, "_PIL_CACHE", None)
+        with pytest.raises(NotImplementedError):
+            mm.decode_media(b"x", "image/png")
+        with pytest.raises(NotImplementedError):
+            mm.decode_media(b"x", "video/mp4")
