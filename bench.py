@@ -25,7 +25,11 @@ import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
 from readability_spark.spark.job import extract_articles
-from readability_spark.spark.pages import pages_from_documents
+from readability_spark.spark.pages import (
+    junk_pages_from_documents,
+    media_pages_from_documents,
+    pages_from_documents,
+)
 from readability_spark.spark.session import get_spark
 
 
@@ -58,6 +62,44 @@ def materialize_pages(spark, sf_dir, factor, base="/tmp/readability_bench"):
         docs = docs.repartition(64, "doc_id")
         pages_from_documents(docs).write.mode("overwrite").parquet(path)
     return path
+
+
+#: page synthesizers for the scored-path benchmarks; since r3 their pages
+#: are pre-materialized (untimed) like extract_flagship's, so these rows
+#: time EXTRACTION only — r1/r2 numbers for these queries included the
+#: in-query synthesis pass and are not comparable
+_SCORED_VARIANTS = {
+    "extract_scored_text": ("contract", pages_from_documents),
+    "extract_prepped_text": ("junk", junk_pages_from_documents),
+    "extract_media_text": ("media", media_pages_from_documents),
+}
+
+
+def materialize_variant_pages(spark, sf_dir, variant, synth, base="/tmp/readability_bench"):
+    """Untimed one-time parquet materialization of a scored-path page
+    variant (same methodology as materialize_pages/extract_flagship)."""
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    path = f"{base}/pages_{variant}_sf{sf}"
+    marker = Path(path) / "_SUCCESS"
+    if not marker.exists():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        )
+        docs = docs.repartition(32, "doc_id")
+        synth(docs).write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_scored_variant(spark, sf_dir, variant, synth):
+    """Time the scored extraction (content_extraction + prep) over the
+    pre-materialized variant pages — extraction only, no synthesis."""
+    from readability_spark.options import Options
+
+    pages = spark.read.parquet(materialize_variant_pages(spark, sf_dir, variant, synth))
+    opts = Options(content_extraction=True, min_text_length=0)
+    t0 = time.time()
+    extract_articles(pages, options=opts).select("url", "text_content").count()
+    return time.time() - t0
 
 
 def bench_extraction(spark, sf_dir, factor):
@@ -137,6 +179,10 @@ def main():
     ]
     allq = entrymod.queries()
     for name in bench_set:
+        if name in _SCORED_VARIANTS:
+            variant, synth = _SCORED_VARIANTS[name]
+            queries[name] = round(bench_scored_variant(spark, sf_dir, variant, synth), 3)
+            continue
         t0 = time.time()
         allq[name](spark, sf_dir).count()
         queries[name] = round(time.time() - t0, 3)
