@@ -183,6 +183,12 @@ def run_level(cores, pages_path, tag):
         "--report-json", str(report),
         "--warmup",
     ]
+    # EXTRA_SPARK_CONF: comma-separated k=v spark confs for sweep runs
+    # (e.g. "spark.sql.execution.arrow.maxRecordsPerBatch=2048");
+    # identical at both levels of a pair
+    for kv in filter(None, os.environ.get("EXTRA_SPARK_CONF", "").split(",")):
+        i = cmd.index("--py-files")
+        cmd[i:i] = ["--conf", kv]
     # EXTRA_JOB_ARGS: extra extract_job.py flags for supplementary runs
     # (e.g. "--content-extraction --min-text-length 0" to measure the
     # Arc90-scored pipeline); identical at both levels of a pair
@@ -387,11 +393,14 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
         "Supplementary run: the same protocol with the Arc90 scoring + prep",
         "pass enabled (`EXTRA_JOB_ARGS='--content-extraction",
         "--min-text-length 0'`, the north_star's scored pipeline) on the",
-        "4->16 pair PASSES as well (BENCH/BASELINE_scored.md /",
-        "BENCH/scaling_scored.json: reps 0.662 and 1.066 measured — scoring",
-        "adds compute per byte, which scales better on a bandwidth-bound",
-        "host).  The headline protocol measures the default pipeline, whose",
-        "output is the byte-identical-to-reference contract.",
+        "4->16 pair at 200k docs PASSES at the full REPEATS=3 interleaved",
+        "protocol (BENCH/BASELINE_scored.md / BENCH/scaling_scored.json,",
+        "round 3): ALL three reps >=0.8 measured (0.918 / 0.811 / 0.821),",
+        "best 0.918 measured / 1.016 normalized — scoring adds compute per",
+        "byte, which scales better on a bandwidth-bound host.  (Round 2's",
+        "best-of-2 evidence, reps 0.662/1.066, is superseded.)  The headline",
+        "protocol measures the default pipeline, whose output is the",
+        "byte-identical-to-reference contract.",
         "",
         "Round-over-round: round 1 measured 522 docs/s at local[2], 2,393 at",
         "local[8] and 5,236 at local[32] on this protocol; the round-2 engine",
@@ -409,6 +418,15 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
         "- `spark.sql.parquet.columnarReaderBatchSize=512`: default 4096-row",
         "  column batches at ~25 KB/row OOM the scan at 32 concurrent tasks;",
         "- right-sized heap (8g): 48g measured ~2x slower wall across all stages.",
+        "",
+        "**bench.py methodology change (round 3):** `extract_scored_text`,",
+        "`extract_prepped_text` and `extract_media_text` now pre-materialize",
+        "their synthetic page variants to parquet (untimed, same as",
+        "`extract_flagship` has always done) and time extraction only.  r1/r2",
+        "values for those three rows included the in-query page-synthesis",
+        "mapInPandas pass and are NOT comparable (the r2->r3 drop on those",
+        "rows is the synthesis cost moving out of the timed path, not an",
+        "engine change).",
         "",
         "Raw JSON: `BENCH/scaling.json`.  Headline per-query bench: `bench.py`",
         "(driver-run, `BENCH_r{N}.json`).",
