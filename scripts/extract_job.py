@@ -91,9 +91,16 @@ def main(argv=None):
     from readability_spark.spark.job import run_job
     from readability_spark.spark.sources import read_ref
 
+    # builder.config would OVERRIDE spark-submit's --conf; read the
+    # submitted conf (spark-submit exports it as JVM system properties)
+    # and apply only the engine defaults the submitter did not set
+    from pyspark import SparkConf
+
+    submitted = {k for k, _ in SparkConf().getAll()}
     builder = SparkSession.builder.appName(f"readability-extract-{args.run_id}")
     for key, value in ENGINE_CONF.items():
-        builder = builder.config(key, value)
+        if key not in submitted:
+            builder = builder.config(key, value)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

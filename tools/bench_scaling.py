@@ -372,6 +372,53 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
                 f"| {r['pair']} | local[{cores}] | {pm['partitions']} | {pm['docs']} | "
                 f"{pm['failed']} | {pps['min']} | {pps['median']} | {pps['max']} |"
             )
+    decompose = REPO / "BENCH" / "decompose.json"
+    if decompose.exists():
+        d = json.loads(decompose.read_text())
+        v = d["variants"]
+        lines += [
+            "",
+            "## 8->32 residual decomposition (round 3, `tools/bench_decompose.py`)",
+            "",
+            "Cumulative pipeline prefixes, noop-sunk, same 600k-doc input as the",
+            "stress pair, interleaved reps (`BENCH/decompose.json`):",
+            "",
+            "| prefix | local[8] wall | local[32] wall | 8->32 eff |",
+            "|---|---|---|---|",
+        ]
+        labels = {
+            "scan": "scan + the job's one shuffle (zero Python)",
+            "arrow": "+ Arrow passthrough (html bytes into Python, no extraction)",
+            "extract": "+ full 16-stage extraction (no sink)",
+        }
+        for key in ("scan", "arrow", "extract"):
+            b = v[key]["best_rep_walls"]
+            lines.append(
+                f"| {labels[key]} | {b['8']} s | {b['32']} s | {v[key]['efficiency']} |"
+            )
+        lines += [
+            "",
+            "The byte-moving prefixes DO NOT SCALE with cores: scan+shuffle and",
+            "the Arrow exchange run at essentially the same wall at 8 and at 32",
+            "cores (efficiency 0.30 / 0.28) — they are pinned at the host's",
+            "memory/IPC bandwidth, which is a fixed resource shared by both",
+            "levels of the single-host proxy.  Accounting model: take the",
+            "8-level extraction wall, subtract the ~19 s exchange floor to get",
+            "the CPU component, scale it by 4x degraded by the measured 0.846",
+            "multiprocessing bandwidth ceiling, and add the (unscalable) ~17 s",
+            "floor back: predicted local[32] wall = (127.3-19.3)/4/0.846 + 17.3",
+            "= 49.2 s vs the 51.5 s the headline 8->32 run measured — within",
+            "5%.  The stress pair's entire efficiency residual is therefore",
+            "scan/exchange bandwidth plus the per-core bandwidth ceiling, not",
+            "engine coordination; on a real 4N-executor cluster both terms",
+            "scale with the node count (4x scan spindles, 4x memory buses,",
+            "per-node loopback pipes), which is why the in-envelope pairs —",
+            "where the proxy's shared-bandwidth distortion is absent — are the",
+            "faithful evidence for the criterion.  (An",
+            "arrow.maxRecordsPerBatch sweep at 256/512/1024/2048, 2 reps each,",
+            "moved nothing outside noise: the exchange is bandwidth-bound, not",
+            "batching-bound.)",
+        ]
     lines += [
         "",
         "## Measurement notes",
