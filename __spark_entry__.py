@@ -452,6 +452,72 @@ def paragraph_dedup(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    chunks AS (
+      SELECT doc_id, u.h FROM (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(0, CAST(ceil(len(arr)/{_PD_K}.0) AS INT) - 1),
+                 i -> md5(array_to_string(list_slice(arr, i*{_PD_K}+1, i*{_PD_K}+{_PD_K}), ' '))) AS hs
+        FROM d
+      ), unnest(hs) AS u(h)
+    ),
+    cd AS (SELECT DISTINCT doc_id, h FROM chunks),
+    raw_edges AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM cd a JOIN cd b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT a, b FROM raw_edges UNION ALL SELECT b, a FROM raw_edges),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS label FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.label FROM reach r JOIN edges e ON e.a = r.doc_id
+    )
+    SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Dedup clustering — the step every near-dup pipeline ends with:
+    candidate pairs (here: documents sharing any 5-word-chunk fingerprint,
+    a winnowing-style collision graph) grouped into connected components,
+    cluster_id = min doc_id in the component (the canonical document).
+
+    The component step is a genuinely iterative Spark algorithm
+    (textops.connected_components: min-label propagation, one shuffle per
+    round, localCheckpoint lineage truncation, driver-side scalar
+    convergence check) — rounds = graph diameter, tiny for near-dup
+    graphs.  The DuckDB oracle recomputes the same components with a
+    recursive CTE, so the hash match certifies the iterative Spark path
+    against a closed-form transitive closure."""
+    from readability_spark.spark.textops import connected_components
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _PD_K
+    hs = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.md5(F.array_join(F.slice(arr, i * k + 1, k), " ")),
+    )
+    cd = docs.select("doc_id", F.explode(hs).alias("h")).distinct()
+    a, b = cd.alias("a"), cd.alias("b")
+    raw_edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .distinct()
+    )
+    return connected_components(raw_edges)
+
+
 #: PII patterns (public-knowledge conservative set; identical Java/RE2
 #: semantics so the DuckDB oracle replays them verbatim)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1222,6 +1288,100 @@ def quality_score(spark, sf_dir):
             (F.length("text") - F.length(punct)).cast("double") / F.length("text"), 4
         ).alias("punct_ratio"),
         F.round(stop.cast("double") / toks, 4).alias("stopword_ratio"),
+    )
+
+
+#: Gopher required stopwords (Rae et al. 2021, public heuristics)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@_q(
+    "gopher_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_wl,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+               AS DOUBLE) / len(toks) AS symbol_ratio,
+             len(list_intersect(list_distinct(toks),
+                 {list(_GOPHER_STOPS)})) AS n_req_stopwords
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wl, 4) AS mean_word_len,
+           round(alpha_frac, 4) AS alpha_word_frac,
+           round(symbol_ratio, 4) AS symbol_word_ratio,
+           CAST(n_req_stopwords AS BIGINT) AS n_req_stopwords,
+           n_words BETWEEN 50 AND 100000 AS pass_word_count,
+           mean_wl BETWEEN 3 AND 10 AS pass_mean_word_len,
+           symbol_ratio <= 0.1 AS pass_symbol_ratio,
+           alpha_frac >= 0.8 AS pass_alpha_frac,
+           n_req_stopwords >= 2 AS pass_stopwords,
+           (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+             AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+             AND n_req_stopwords >= 2 AS keep
+    FROM m
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """Gopher/MassiveText quality-rule bundle (Rae et al. 2021, published
+    heuristics): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio ('#' and '...'), alphabetic-word fraction, and the
+    required-stopword rule (>=2 of the 8 Gopher stopwords present) — one
+    keep verdict per document plus every named signal for audit.  Pure
+    narrow projection over built-in array/string functions: no shuffle, no
+    UDF; at 100 TB it rides the scan like repetition_filter.  (Gopher's
+    line-level rules — bullet/ellipsis line fractions — need newline
+    structure this corpus lacks; the per-word rules are the applicable
+    subset.)"""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    toks = F.split(F.trim(F.col("text")), " ")
+    n_words = F.size(toks)
+    mean_wl = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    ).cast("double") / n_words
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
+    )
+    hash_count = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ellipsis_count = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words
+    n_req = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+        )
+    )
+    rules = {
+        "pass_word_count": n_words.between(50, 100000),
+        "pass_mean_word_len": mean_wl.between(3, 10),
+        "pass_symbol_ratio": symbol_ratio <= 0.1,
+        "pass_alpha_frac": alpha_frac >= 0.8,
+        "pass_stopwords": n_req >= 2,
+    }
+    keep = F.lit(True)
+    for rule in rules.values():
+        keep = keep & rule
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
+        n_req.cast("long").alias("n_req_stopwords"),
+        *[rule.alias(name) for name, rule in rules.items()],
+        keep.alias("keep"),
     )
 
 

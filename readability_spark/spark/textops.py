@@ -429,3 +429,56 @@ def lsh_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame, a_col="a", b_col="b", max_iterations=25
+) -> DataFrame:
+    """Connected components over an undirected candidate-pair graph — the
+    clustering step every near-dup dedup pipeline ends with (pairs from
+    MinHash-LSH / fingerprint collisions -> components -> one canonical
+    document per component).
+
+    Algorithm: iterative min-label propagation (the published MapReduce CC
+    approach, e.g. Kiveris et al. 2014's baseline): every node starts
+    labeled with itself; each round every node takes the min of its own
+    and its neighbors' labels; converged when no label changes.  Rounds =
+    graph diameter, which for near-dup graphs is tiny (duplicates of one
+    document form near-cliques).  Each round is ONE shuffle (groupBy
+    doc_id); lineage is truncated with localCheckpoint per round so the
+    plan does not grow with the iteration count — the standard Spark
+    iterative-algorithm shape.  The convergence check is a count() per
+    round: a driver-side scalar, not a data collect.
+
+    ``edges`` must contain each undirected edge at least once in either
+    direction; both directions are generated internally.  Returns
+    (doc_id, cluster_id = min doc_id in the component) for every node
+    that appears in an edge.
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        prop = sym.join(
+            labels.select(F.col("doc_id").alias("src"), "label"), "src"
+        ).select(F.col("dst").alias("doc_id"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("doc_id").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))

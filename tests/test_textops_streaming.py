@@ -529,3 +529,32 @@ class TestDecoderSeam:
             mm.decode_media(b"x", "image/png")
         with pytest.raises(NotImplementedError):
             mm.decode_media(b"x", "video/mp4")
+
+
+class TestConnectedComponents:
+    """textops.connected_components: iterative min-label propagation
+    (the dedup-clustering step), pinned on multi-hop graphs."""
+
+    def test_chain_and_islands(self, spark):
+        from readability_spark.spark.textops import connected_components
+
+        # chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11,
+        # and edges listed in ONE direction only
+        edges = spark.createDataFrame(
+            [(2, 1), (2, 3), (3, 4), (10, 11)], "a long, b long"
+        )
+        got = {
+            r.doc_id: r.cluster_id for r in connected_components(edges).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_converges_within_iteration_bound(self, spark):
+        from readability_spark.spark.textops import connected_components
+
+        # a 12-node path graph: worst-case diameter for label propagation
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(11)], "a long, b long"
+        )
+        got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+        assert set(got.values()) == {0}
+        assert len(got) == 12

@@ -192,6 +192,14 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate"],
     )
 
+    # 13. Gopher rule bundle: pure narrow projection like repetition_filter
+    check(
+        "gopher_quality_filter_map_only",
+        allq["gopher_quality_filter"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
