@@ -248,10 +248,9 @@ def mark_data_tables(root):
         if captions and captions[0].children:
             data_tables.add(table)
             continue
-        # data-table descendants (mozilla dataTableDescendants)
-        if any(
-            dom.select(table, t) for t in ("col", "colgroup", "tfoot", "thead", "th")
-        ):
+        # data-table descendants (mozilla dataTableDescendants) — one
+        # combined-selector walk, not five
+        if dom.select(table, "col, colgroup, tfoot, thead, th"):
             data_tables.add(table)
             continue
         if dom.select(table, "table"):  # nested tables = layout
@@ -281,19 +280,22 @@ def _has_ancestor_tag(node, tag, max_depth=3, filter_fn=None):
     return False
 
 
-def _text_density(node, tags):
-    """mozilla _getTextDensity: combined text length of ``tags`` descendants
-    over the node's own text length."""
-    text_length = len(node.text().strip())
+def _text_density(node, selector, node_text=None):
+    """mozilla _getTextDensity: combined text length of ``selector``'s
+    descendants over the node's own text length.  ``selector`` is a
+    comma-alternation so all tags are collected in ONE subtree walk;
+    ``node_text`` lets callers that already computed node.text() skip the
+    second whole-subtree text walk."""
+    text_length = len((node.text() if node_text is None else node_text).strip())
     if text_length == 0:
         return 0.0
     children_length = sum(
-        len(child.text().strip()) for tag in tags for child in dom.select(node, tag)
+        len(child.text().strip()) for child in dom.select(node, selector)
     )
     return children_length / text_length
 
 
-_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+_HEADING_SELECTOR = "h1, h2, h3, h4, h5, h6"
 
 #: mozilla REGEXPS.adWords / REGEXPS.loadingWords — nodes whose entire text
 #: is one of these are boilerplate by definition
@@ -327,14 +329,14 @@ def clean_conditionally(root, tag, scores=None, data_tables=frozenset()):
         if _has_ancestor_tag(node, "code"):
             continue
 
+        inner_text = node.text().strip()
+
         is_list = is_list_tag
         if not is_list:
-            node_text_len = len(node.text().strip())
+            node_text_len = len(inner_text)
             if node_text_len > 0:
                 list_length = sum(
-                    len(lst.text().strip())
-                    for t in ("ul", "ol")
-                    for lst in dom.select(node, t)
+                    len(lst.text().strip()) for lst in dom.select(node, "ul, ol")
                 )
                 is_list = list_length / node_text_len > 0.9
 
@@ -343,7 +345,6 @@ def clean_conditionally(root, tag, scores=None, data_tables=frozenset()):
             node.remove_from_parent()
             continue
 
-        inner_text = node.text().strip()
         if AD_WORDS.match(inner_text) or LOADING_WORDS.match(inner_text):
             node.remove_from_parent()
             continue
@@ -354,18 +355,18 @@ def clean_conditionally(root, tag, scores=None, data_tables=frozenset()):
         img = len(dom.select(node, "img"))
         li = len(dom.select(node, "li")) - 100
         inputs = len(dom.select(node, "input"))
-        heading_density = _text_density(node, _HEADING_TAGS)
+        heading_density = _text_density(node, _HEADING_SELECTOR, inner_text)
 
+        # one combined-selector walk over the three embed-ish tags; the
+        # count is only consumed when no allowed video was found, so the
+        # early-break in the per-tag original and this form agree
         embed_count = 0
         keep_for_video = False
-        for embed_tag in EMBED_TAGS:
-            for embed in dom.select(node, embed_tag):
-                if _is_allowed_video(embed):
-                    keep_for_video = True
-                    break
-                embed_count += 1
-            if keep_for_video:
+        for embed in dom.select(node, "object, embed, iframe"):
+            if _is_allowed_video(embed):
+                keep_for_video = True
                 break
+            embed_count += 1
         if keep_for_video:
             continue
 
@@ -560,15 +561,15 @@ def prep_article(article, scores=None, title=None):
         if _attached(node, article) and _is_paragraph_like_div(node):
             node.rename("p")
 
+    # text first (one walk, short-circuits every non-empty paragraph — the
+    # common case), then one combined-selector walk for the four embed-ish
+    # tags instead of four separate subtree selects (same predicate)
     for para in reversed(dom.select(article, "p")):
-        if (
-            not dom.select(para, "img")
-            and not dom.select(para, "embed")
-            and not dom.select(para, "object")
-            and not dom.select(para, "iframe")
-            and not para.text().strip()
-        ):
-            para.remove_from_parent()
+        if para.text().strip():
+            continue
+        if dom.select(para, "img, embed, object, iframe"):
+            continue
+        para.remove_from_parent()
 
     for br in reversed(dom.select(article, "br")):
         nxt = _next_significant(br)
