@@ -1810,6 +1810,33 @@ def stream_dedup_exact_q(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup_watermarked",
+    f"""
+    SELECT {_SQL_URL} AS url FROM documents
+    """,
+)
+def stream_dedup_watermarked_q(spark, sf_dir):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark over
+    warc_ts — the 10^12-document form of stream_dedup_exact): the landing
+    zone again holds every page twice; both copies carry the same event
+    time, so each url sits well inside the watermark window and must be
+    emitted exactly once, equal to the batch distinct-url oracle.  State
+    for a url is evicted once the watermark passes it, so worker state is
+    bounded by arrival-rate x window instead of corpus size."""
+    from readability_spark.streaming import stream_dedup_watermarked
+
+    base = _stream_workdir(sf_dir, "dedup_wm")
+    pages = read_pages(spark, sf_dir).select("url", "warc_ts", "html", "text", "lang")
+    pages.write.mode("overwrite").parquet(str(base / "input"))
+    pages.write.mode("append").parquet(str(base / "input"))  # duplicate drop
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return stream_dedup_watermarked(
+        spark, str(base / "input"), str(base / "checkpoint"),
+        query_name=f"stream_dedup_wm_{sf_tag}",
+    )
+
+
+@_q(
     "stream_windowed_counts",
     """
     SELECT date_trunc('hour', TIMESTAMP '2026-01-01 00:00:00'

@@ -114,6 +114,49 @@ def stream_dedup_exact(
     return spark.table(query_name)
 
 
+def stream_dedup_watermarked(
+    spark,
+    input_dir,
+    checkpoint_dir,
+    key_cols=("url",),
+    ts_col="warc_ts",
+    watermark="2 hours",
+    query_name="stream_dedup_wm",
+    timeout_secs=600,
+):
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark`` on
+    the key over the crawl timestamp — the 10^12-document form of
+    :func:`stream_dedup_exact`.  Dedup state for a key is EVICTED once the
+    watermark (event time seen minus ``watermark``) passes the key's last
+    event, so worker state holds only the trailing window instead of every
+    key ever seen; a duplicate arriving later than the watermark delay is
+    the accepted at-most-once-per-window tradeoff (Spark's documented
+    contract for this operator).  Guarantee: no duplicates WITHIN the
+    watermark window — exact-once emission per key per window.
+
+    On a crawl landing zone this matches the data's arrival pattern:
+    re-fetches of a url land close together (same crawl segment), so a
+    watermark of hours dedups them with state proportional to arrival
+    rate x window, not corpus size."""
+    stream = read_pages_stream(spark, input_dir)
+    deduped = (
+        stream.select(*key_cols, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
+        .select(*key_cols)
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_stop(query, timeout_secs)
+    return spark.table(query_name)
+
+
 def advance_sessions(start, last, n, ts, gap_seconds, domain=None):
     """Session-advance core shared by the stateful operator (pure, so the
     cross-batch ordering semantics are unit-testable): fold sorted ``ts``

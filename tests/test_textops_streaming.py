@@ -284,6 +284,24 @@ class TestStreaming:
         # no new data -> no duplicate output rows (exactly-once sink)
         assert again.count() == n_first
 
+    def test_watermarked_dedup_emits_each_key_once(self, spark, docs, tmp_path_factory):
+        from readability_spark.streaming import stream_dedup_watermarked
+
+        base = tmp_path_factory.mktemp("stream_wm")
+        pages = pages_from_documents(docs)
+        pages.write.mode("overwrite").parquet(str(base / "input"))
+        pages.write.mode("append").parquet(str(base / "input"))  # duplicate drop
+
+        out = stream_dedup_watermarked(
+            spark, str(base / "input"), str(base / "ckpt"),
+            query_name="wm_dedup_test",
+        )
+        urls = [r.url for r in out.collect()]
+        # every url exactly once despite the double drop (both copies share
+        # one event time, so both sit inside the watermark window)
+        assert len(urls) == len(set(urls)) == 5
+        assert out.columns == ["url"]
+
     def test_windowed_counts(self, spark, docs, tmp_path_factory):
         base = tmp_path_factory.mktemp("stream_win")
         pages_from_documents(docs).write.mode("overwrite").parquet(str(base / "input"))
