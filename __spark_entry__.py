@@ -379,6 +379,23 @@ def dedup_exact(spark, sf_dir):
 _PD_BOILER = "all rights reserved contact support"
 _PD_K = 5  # words per synthesized paragraph
 
+#: one definition of "the document's 5-word chunks", shared by
+#: paragraph_dedup and dedup_clusters on BOTH engines so the two operators
+#: (and their oracles) cannot drift apart on chunking
+_SQL_CHUNKS = (
+    f"list_transform(generate_series(0, CAST(ceil(len(arr)/{_PD_K}.0) AS INT) - 1),"
+    f" i -> array_to_string(list_slice(arr, i*{_PD_K}+1, i*{_PD_K}+{_PD_K}), ' '))"
+)
+
+
+def _spark_chunks(arr):
+    """Spark twin of _SQL_CHUNKS: array of 5-word chunk strings."""
+    k = _PD_K
+    return F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+
 
 @_q(
     "paragraph_dedup",
@@ -390,9 +407,7 @@ _PD_K = 5  # words per synthesized paragraph
     p AS (
       SELECT doc_id,
              list_concat(
-               list_transform(
-                 generate_series(0, CAST(ceil(len(arr)/{_PD_K}.0) AS INT) - 1),
-                 i -> array_to_string(list_slice(arr, i*{_PD_K}+1, i*{_PD_K}+{_PD_K}), ' ')),
+               {_SQL_CHUNKS},
                ['{_PD_BOILER}', 'follow ' || source || ' for more stories']
              ) AS paras
       FROM d
@@ -426,13 +441,8 @@ def paragraph_dedup(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     arr = F.split(F.trim(F.col("text")), " ")
-    k = _PD_K
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
-        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
-    )
     paras = F.concat(
-        chunks,
+        _spark_chunks(arr),
         F.array(
             F.lit(_PD_BOILER),
             F.concat(F.lit("follow "), F.col("source"), F.lit(" for more stories")),
@@ -461,10 +471,7 @@ def paragraph_dedup(spark, sf_dir):
     ),
     chunks AS (
       SELECT doc_id, u.h FROM (
-        SELECT doc_id,
-               list_transform(
-                 generate_series(0, CAST(ceil(len(arr)/{_PD_K}.0) AS INT) - 1),
-                 i -> md5(array_to_string(list_slice(arr, i*{_PD_K}+1, i*{_PD_K}+{_PD_K}), ' '))) AS hs
+        SELECT doc_id, list_transform({_SQL_CHUNKS}, c -> md5(c)) AS hs
         FROM d
       ), unnest(hs) AS u(h)
     ),
@@ -500,11 +507,7 @@ def dedup_clusters(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     arr = F.split(F.trim(F.col("text")), " ")
-    k = _PD_K
-    hs = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
-        lambda i: F.md5(F.array_join(F.slice(arr, i * k + 1, k), " ")),
-    )
+    hs = F.transform(_spark_chunks(arr), lambda c: F.md5(c))
     cd = docs.select("doc_id", F.explode(hs).alias("h")).distinct()
     a, b = cd.alias("a"), cd.alias("b")
     raw_edges = (
@@ -1822,7 +1825,11 @@ def stream_dedup_watermarked_q(spark, sf_dir):
     time, so each url sits well inside the watermark window and must be
     emitted exactly once, equal to the batch distinct-url oracle.  State
     for a url is evicted once the watermark passes it, so worker state is
-    bounded by arrival-rate x window instead of corpus size."""
+    bounded by arrival-rate x window instead of corpus size.  The
+    watermark here exceeds the fixtures' full event-time span (doc_id*37 s
+    from 2026-01-01), so correctness cannot depend on the drain landing in
+    one micro-batch — rows older than the watermark at arrival are dropped
+    as late data per the operator's contract."""
     from readability_spark.streaming import stream_dedup_watermarked
 
     base = _stream_workdir(sf_dir, "dedup_wm")
@@ -1832,6 +1839,7 @@ def stream_dedup_watermarked_q(spark, sf_dir):
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     return stream_dedup_watermarked(
         spark, str(base / "input"), str(base / "checkpoint"),
+        watermark="720 hours",
         query_name=f"stream_dedup_wm_{sf_tag}",
     )
 

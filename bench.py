@@ -54,8 +54,10 @@ def materialize_pages(spark, sf_dir, factor, base="/tmp/readability_bench"):
     """Build (once, untimed) the deterministic pages parquet the extraction
     benchmark reads — the honest input shape per BASELINE.json input_hint.
     Partitioned on write so the timed scan parallelizes without a shuffle."""
+    from readability_spark.spark.pages import pages_from_documents as _synth
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    path = f"{base}/pages_sf{sf}_r{factor}"
+    path = f"{base}/pages_sf{sf}_r{factor}_{_synth_tag(_synth)}"
     marker = Path(path) / "_SUCCESS"
     if not marker.exists():
         docs = replicated_documents(spark, sf_dir, factor)
@@ -75,11 +77,25 @@ _SCORED_VARIANTS = {
 }
 
 
+def _synth_tag(synth):
+    """Cache-key component derived from the synthesizer's source (and the
+    page-template module it calls into), so an edit to any synthesize_*
+    function invalidates the /tmp materialization instead of silently
+    benchmarking stale pages."""
+    import hashlib
+    import inspect
+
+    from readability_spark.spark import pages as pages_mod
+
+    blob = inspect.getsource(synth) + inspect.getsource(pages_mod)
+    return hashlib.md5(blob.encode()).hexdigest()[:8]
+
+
 def materialize_variant_pages(spark, sf_dir, variant, synth, base="/tmp/readability_bench"):
     """Untimed one-time parquet materialization of a scored-path page
     variant (same methodology as materialize_pages/extract_flagship)."""
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    path = f"{base}/pages_{variant}_sf{sf}"
+    path = f"{base}/pages_{variant}_sf{sf}_{_synth_tag(synth)}"
     marker = Path(path) / "_SUCCESS"
     if not marker.exists():
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(

@@ -417,9 +417,7 @@ def _is_element_without_content(node):
     if node.kind != dom.ELEMENT or node.text().strip():
         return False
     kids = _element_children(node)
-    return not kids or len(kids) == len(dom.select(node, "br")) + len(
-        dom.select(node, "hr")
-    )
+    return not kids or len(kids) == len(dom.select(node, "br, hr"))
 
 
 def _next_element_sibling(node):

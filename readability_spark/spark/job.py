@@ -317,16 +317,28 @@ def _read_lineage(spark, lineage_path):
     None) from "lineage exists but is unreadable" (corrupt →
     LineageCorruptError).  Silently treating corrupt lineage as fresh would
     re-append already-committed partitions."""
+    import re as _re
+
     from .sources import is_table_ref
 
-    local = not is_table_ref(lineage_path) and "://" not in lineage_path.replace(
-        "file://", ""
+    # a path is local only when it carries NO URI scheme at all (or the
+    # file: scheme): Hadoop normalizes to single-slash forms like
+    # dbfs:/x or file:/x, so matching on '://' would misroute those to
+    # os.listdir and silently treat existing remote lineage as a fresh run
+    scheme = _re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", lineage_path)
+    local = not is_table_ref(lineage_path) and (
+        scheme is None or scheme.group(1).lower() == "file"
     )
     if local:
+        fs_path = _re.sub(r"^file:(//)?", "", lineage_path)
         try:
-            entries = os.listdir(lineage_path.removeprefix("file://"))
+            entries = os.listdir(fs_path)
         except FileNotFoundError:
             return None
+        except NotADirectoryError as exc:
+            raise LineageCorruptError(
+                f"lineage path {lineage_path!r} exists but is not a directory"
+            ) from exc
         if not any(
             e.endswith(".parquet") and not e.startswith((".", "_")) for e in entries
         ):

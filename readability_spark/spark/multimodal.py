@@ -113,6 +113,8 @@ def decode_media(payload: bytes, media_type: str):
     Raises NotImplementedError when the capability is absent (audio/video
     decode needs libs no probe found) — callers wanting graceful fallback
     go through :func:`decode_auto`."""
+    # NOTE: the real path digests the WHOLE payload (it has no framing);
+    # the synthetic stub digests the body behind the MAGIC prefix
     if media_type and media_type.startswith("image/"):
         img_mod = _pil()
         if img_mod is not None:
@@ -125,9 +127,19 @@ def decode_media(payload: bytes, media_type: str):
 
 
 def decode_auto(payload: bytes, media_type: str):
-    """Seam used by :func:`extract_media_features`: the real decoder when
-    the worker image has it, the deterministic stub otherwise."""
-    if media_type and media_type.startswith("image/") and _pil() is not None:
+    """Seam used by :func:`extract_media_features`.  Synthetic MAGIC-tagged
+    payloads ALWAYS take the deterministic stub (they are not decodable
+    media, so routing them to a real decoder on a PIL-equipped worker
+    would turn every oracle-checked row into status='error'); everything
+    else takes the real decoder when the capability exists, and otherwise
+    falls through to the stub, whose bad-magic ValueError surfaces as the
+    row's error status."""
+    if (
+        not payload.startswith(MAGIC)
+        and media_type
+        and media_type.startswith("image/")
+        and _pil() is not None
+    ):
         return decode_media(payload, media_type)
     return fake_decode(payload)
 
@@ -187,8 +199,10 @@ def resize_image_real(payload: bytes, width: int, height: int):
 
 
 def resize_auto(payload: bytes, width: int, height: int):
-    """Seam used by :func:`resize_media`: PIL when available, stub else."""
-    if _pil() is not None:
+    """Seam used by :func:`resize_media`: MAGIC-tagged synthetic payloads
+    take the stub; real payloads take PIL when available (see
+    :func:`decode_auto` for the dispatch rationale)."""
+    if not payload.startswith(MAGIC) and _pil() is not None:
         return resize_image_real(payload, width, height)
     return fake_resize(payload, width, height)
 
@@ -281,9 +295,10 @@ def sample_frames_ffmpeg(payload: bytes, n_frames: int):
 
 
 def frames_auto(payload: bytes, n_frames: int):
-    """Seam used by :func:`sample_video_frames`: ffmpeg when present on the
-    worker image, the deterministic stub otherwise."""
-    if _ffmpeg() is not None:
+    """Seam used by :func:`sample_video_frames`: MAGIC-tagged synthetic
+    payloads take the stub; real payloads take ffmpeg when present (see
+    :func:`decode_auto` for the dispatch rationale)."""
+    if not payload.startswith(MAGIC) and _ffmpeg() is not None:
         return sample_frames_ffmpeg(payload, n_frames)
     return fake_frame_sample(payload, n_frames)
 
@@ -346,7 +361,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 raw = bytes(payload)
                 try:
                     digest, w, h = decode_auto(raw, mt)
-                    n_bytes.append(len(raw) - len(MAGIC))
+                    # content bytes: synthetic payloads exclude the MAGIC
+                    # framing; real media is its own content
+                    n_bytes.append(
+                        len(raw) - len(MAGIC) if raw.startswith(MAGIC) else len(raw)
+                    )
                     md5s.append(digest)
                     ws.append(w)
                     hs.append(h)

@@ -465,6 +465,7 @@ def connected_components(
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=True)
     )
+    changed = None
     for _ in range(max_iterations):
         prop = sym.join(
             labels.select(F.col("doc_id").alias("src"), "label"), "src"
@@ -481,4 +482,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        # a partially-propagated labeling silently splits one component into
+        # several clusters — wrong canonical assignments; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            f"iterations ({changed} labels still changing); the graph has a "
+            "path longer than the iteration bound — raise max_iterations"
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))

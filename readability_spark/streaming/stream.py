@@ -127,12 +127,17 @@ def stream_dedup_watermarked(
     """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark`` on
     the key over the crawl timestamp — the 10^12-document form of
     :func:`stream_dedup_exact`.  Dedup state for a key is EVICTED once the
-    watermark (event time seen minus ``watermark``) passes the key's last
-    event, so worker state holds only the trailing window instead of every
-    key ever seen; a duplicate arriving later than the watermark delay is
-    the accepted at-most-once-per-window tradeoff (Spark's documented
-    contract for this operator).  Guarantee: no duplicates WITHIN the
-    watermark window — exact-once emission per key per window.
+    watermark (max event time seen minus ``watermark``) passes the key's
+    last event, so worker state holds only the trailing window instead of
+    every key ever seen.  Spark's documented contract for the operator,
+    stated fully: (a) a duplicate arriving later than the watermark delay
+    is re-admitted, and (b) a row whose event time is already older than
+    the current watermark when it ARRIVES is dropped as late data — so
+    across multiple micro-batches, ``watermark`` must exceed the event-time
+    disorder of the arrival stream or sole copies of old-timestamped keys
+    are lost, not just un-deduped.  Size it to the crawl's out-of-orderness
+    (hours), not to taste.  Guarantee: each key emitted exactly once per
+    watermark window.
 
     On a crawl landing zone this matches the data's arrival pattern:
     re-fetches of a url land close together (same crawl segment), so a

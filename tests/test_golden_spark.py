@@ -322,3 +322,21 @@ def test_want_content_skips_serialization():
     for f in ("byline", "dir", "excerpt", "lang", "length",
               "published_time", "site_name", "text_content", "title"):
         assert getattr(lean, f) == getattr(full, f), f
+
+
+def test_lineage_scheme_paths_not_treated_as_local(spark, tmp_path):
+    """Single-slash scheme URIs (dbfs:/x) must not be routed to os.listdir
+    (which would silently report a fresh run for existing remote lineage);
+    file:-scheme paths ARE local and resolve to the filesystem path."""
+    from readability_spark.spark.job import _read_lineage
+
+    # dbfs:/... -> remote branch -> spark read fails with a non-PATH_NOT_FOUND
+    # error class -> loud LineageCorruptError, never a silent fresh-run None
+    from readability_spark.spark.job import LineageCorruptError
+
+    with pytest.raises(LineageCorruptError):
+        _read_lineage(spark, "dbfs:/definitely/not/mounted")
+
+    # file: single- and double-slash forms hit the local branch
+    assert _read_lineage(spark, f"file:{tmp_path}/missing") is None
+    assert _read_lineage(spark, f"file://{tmp_path}/missing") is None

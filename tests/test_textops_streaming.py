@@ -458,16 +458,40 @@ class TestDecoderSeam:
     PIL/ffmpeg, and the deterministic stub path otherwise.  Probes are
     monkeypatched module caches — no media libs in this container."""
 
-    def test_container_has_no_codecs_and_stub_path_runs(self):
+    def test_stub_path_runs_for_synthetic_payloads(self):
         from readability_spark.spark import multimodal as mm
 
-        # this container genuinely lacks both capabilities...
-        assert mm._pil() is None and mm._ffmpeg() is None
-        # ...so the auto seams produce exactly the stub results
+        # MAGIC-tagged synthetic payloads take the stub path regardless of
+        # what capabilities the machine has (they are not decodable media)
         payload = mm.MAGIC + b"hello"
         assert mm.decode_auto(payload, "image/png") == mm.fake_decode(payload)
         assert mm.resize_auto(payload, 3, 2) == mm.fake_resize(payload, 3, 2)
         assert mm.frames_auto(payload, 2) == mm.fake_frame_sample(payload, 2)
+
+    def test_magic_payload_stays_on_stub_even_with_pil(self, monkeypatch):
+        from readability_spark.spark import multimodal as mm
+
+        class ExplodingPIL:
+            @staticmethod
+            def open(buf):  # the real path must never see a MAGIC payload
+                raise AssertionError("real decoder invoked for synthetic payload")
+
+        monkeypatch.setattr(mm, "_PIL_CACHE", ExplodingPIL)
+        monkeypatch.setattr(mm, "_FFMPEG_CACHE", "/usr/bin/ffmpeg")
+        payload = mm.MAGIC + b"hello"
+        assert mm.decode_auto(payload, "image/png") == mm.fake_decode(payload)
+        assert mm.resize_auto(payload, 3, 2) == mm.fake_resize(payload, 3, 2)
+        assert mm.frames_auto(payload, 2) == mm.fake_frame_sample(payload, 2)
+
+    def test_this_container_lacks_codecs(self):
+        import importlib.util
+        import shutil as _sh
+
+        from readability_spark.spark import multimodal as mm
+
+        if importlib.util.find_spec("PIL") or _sh.which("ffmpeg"):
+            pytest.skip("machine has real codecs; container contract n/a")
+        assert mm._pil() is None and mm._ffmpeg() is None
 
     def test_decode_auto_takes_pil_path_when_available(self, monkeypatch):
         from readability_spark.spark import multimodal as mm
@@ -576,3 +600,12 @@ class TestConnectedComponents:
         got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
         assert set(got.values()) == {0}
         assert len(got) == 12
+
+
+class TestConnectedComponentsBound:
+    def test_raises_on_non_convergence(self, spark):
+        from readability_spark.spark.textops import connected_components
+
+        edges = spark.createDataFrame([(i, i + 1) for i in range(6)], "a long, b long")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, max_iterations=1)

@@ -116,7 +116,9 @@ def materialize_input(sf_dir, factor, n_paragraphs):
     from readability_spark.spark.session import get_spark
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    path = WORK / "input" / f"pages_sf{sf}_r{factor}_p{n_paragraphs}"
+    # synth-source tag: template edits invalidate the cache (see bench.py)
+    tag = bench._synth_tag(bench_pages_from_documents)
+    path = WORK / "input" / f"pages_sf{sf}_r{factor}_p{n_paragraphs}_{tag}"
     spark = get_spark(
         app_name="scaling-materialize",
         master="local[32]",
