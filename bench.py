@@ -192,6 +192,11 @@ def main():
         "latest_snapshot_per_url",
         "crawl_cube_stats",
         "lang_id_ngram",
+        # round-3 operators
+        "paragraph_dedup",
+        "pii_scrub",
+        "gopher_quality_filter",
+        "dedup_clusters",
     ]
     allq = entrymod.queries()
     for name in bench_set:
