@@ -521,6 +521,83 @@ def dedup_clusters(spark, sf_dir):
     return connected_components(raw_edges)
 
 
+#: deterministic per-source boilerplate footer — the cross-document repeated
+#: span the operator exists to find (word-soup 10-grams rarely collide
+#: organically, so without it the result would be degenerate-empty)
+_SPAN_FOOTER_SQL = (
+    "' copyright notice all material of ' || source ||"
+    "' syndication network may not be reproduced without permission'"
+)
+
+
+@_q(
+    "repeated_ngram_spans",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(text) || {_SPAN_FOOTER_SQL}, ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_pos,
+             md5(array_to_string(list_slice(arr, u.i, u.i + 9), ' ')) AS gram_hash
+      FROM d, unnest(generate_series(1, len(arr) - 9)) AS u(i)
+    ),
+    rep AS (
+      SELECT gram_hash, count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram_hash HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id, g.start_pos, g.gram_hash, CAST(rep.n_docs AS BIGINT) AS n_docs
+    FROM g JOIN rep USING (gram_hash)
+    """,
+)
+def repeated_ngram_spans(spark, sf_dir):
+    """Substring-granularity cross-document dedup (the exact-substring mode
+    of Lee et al. 2022, at 10-gram resolution): every word position whose
+    10-gram occurs in MORE THAN ONE document is emitted as
+    (doc_id, start_pos, gram_hash, n_docs) — the span map a dedup pass
+    uses to cut repeated passages out of otherwise-unique documents,
+    finer-grained than paragraph_dedup's fixed chunks.  Input carries a
+    deterministic per-source boilerplate footer so the detector has real
+    repeated spans to find.
+
+    Scale: one explode (narrow), ONE shuffle on gram_hash for the
+    repeated-set aggregation, and a join back in which AQE broadcasts the
+    small repeated-hash side — the corpus-sized gram stream is never
+    shuffled twice.  The 10^12-doc variant samples gram positions
+    (winnowing, textops.winnow_fingerprints) before the aggregation."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" copyright notice all material of "),
+            F.col("source"),
+            F.lit(" syndication network may not be reproduced without permission"),
+        ),
+        " ",
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(arr) - 9),
+                lambda i: F.struct(
+                    i.cast("int").alias("start_pos"),
+                    F.md5(F.array_join(F.slice(arr, i, 10), " ")).alias("gram_hash"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.start_pos", "g.gram_hash")
+    rep = (
+        grams.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return grams.join(rep, "gram_hash").select(
+        "doc_id", "start_pos", "gram_hash", "n_docs"
+    )
+
+
 #: PII patterns (public-knowledge conservative set; identical Java/RE2
 #: semantics so the DuckDB oracle replays them verbatim)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -197,6 +197,7 @@ def main():
         "pii_scrub",
         "gopher_quality_filter",
         "dedup_clusters",
+        "repeated_ngram_spans",
     ]
     allq = entrymod.queries()
     for name in bench_set:

@@ -71,3 +71,28 @@ def test_pathologically_deep_nesting_extracts():
     assert status == "ok", error
     assert "deep text" in article.text_content
     assert article.content.count("<div>") == 3000
+
+
+_wrapper_tokens = st.sampled_from(
+    [
+        "<div>", "</div>", "<section>", "</section>", "<div class='a'>",
+        "<div id='x'>", "<p>prose, with commas, long enough to score.</p>",
+        "<br>", "<hr>", "<p>", "</p>", "x",
+    ]
+)
+_wrapper_soup = st.lists(_wrapper_tokens, max_size=40).map("".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_wrapper_soup)
+def test_scored_path_deterministic_on_wrapper_soup(html):
+    """The scored pipeline (scoring + prep + simplifyNestedElements) is
+    deterministic and crash-free on arbitrary div/section wrapper nests —
+    the shapes _simplifyNestedElements rewrites."""
+    opts = Options(content_extraction=True, min_text_length=0)
+    a = extract_row(html, options=opts)
+    b = extract_row(html, options=opts)
+    assert a[1] == b[1]
+    if a[0] is not None:
+        assert a[0].text_content == b[0].text_content
+        assert a[0].content == b[0].content
