@@ -142,6 +142,7 @@ def extract_articles(
     article_columns=None,
     metrics_acc=None,
     partition_col="partition_id",
+    html_codec=None,
 ) -> DataFrame:
     """Add the Article columns to a pages DataFrame.
 
@@ -165,6 +166,15 @@ def extract_articles(
     collects per-``partition_col`` [docs, ok, failed, cpu_ms] as the pass
     runs, so callers get per-partition throughput without re-scanning the
     output.
+
+    ``html_codec="gzip"`` declares the html column holds gzip-compressed
+    bytes, decompressed (zlib, C-speed) inside the UDF right next to the
+    parser.  This is the exchange-bandwidth lever for fat-row tables: the
+    ~10:1-compressible html then moves through the columnar scan batches,
+    the shuffle, AND the JVM->Python Arrow pipe at its compressed size —
+    the decomposition in BENCH/BASELINE.md shows those byte-moving stages
+    are the extraction job's non-scaling bandwidth floor.  A corrupt
+    member yields a status='error' row, never a dead batch.
     """
     options = options or DEFAULT_OPTIONS
     if article_columns is None:
@@ -182,14 +192,28 @@ def extract_articles(
     out_cols = [f.name for f in out_schema.fields]
     if metrics_acc is not None and partition_col not in df.columns:
         raise ValueError(f"metrics_acc requires a {partition_col!r} column")
+    if html_codec not in (None, "gzip"):
+        raise ValueError(f"unknown html_codec: {html_codec!r}")
 
     def run_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gzip
+
         for pdf in batches:
             rows = {name: [] for name in art_cols}
             statuses, errors, timings = [], [], []
             bases = pdf[base_url_col] if base_url_col is not None else None
             for idx, raw in enumerate(pdf[html_col]):
                 t0 = time.perf_counter()
+                if html_codec == "gzip" and raw is not None:
+                    try:
+                        raw = _gzip.decompress(bytes(raw))
+                    except Exception as exc:
+                        timings.append((time.perf_counter() - t0) * 1000.0)
+                        statuses.append("error")
+                        errors.append(f"gzip: {exc}")
+                        for name in art_cols:
+                            rows[name].append(None)
+                        continue
                 article, status, error = extract_row(
                     raw,
                     options=options,
@@ -443,6 +467,7 @@ def run_job(
     commit_groups: int = 4,
     options=None,
     article_columns=None,
+    html_codec=None,
 ) -> JobReport:
     """Resumable extraction job with per-partition lineage.
 
@@ -501,6 +526,7 @@ def run_job(
             base_url_col="url" if options is not None and options.fix_relative_uris else None,
             article_columns=article_columns,
             metrics_acc=acc,
+            html_codec=html_codec,
         )
         append_ref(extracted, output_path, ("partition_id",))
         _t("extract_write", t0)

@@ -340,3 +340,30 @@ def test_lineage_scheme_paths_not_treated_as_local(spark, tmp_path):
     # file: single- and double-slash forms hit the local branch
     assert _read_lineage(spark, f"file:{tmp_path}/missing") is None
     assert _read_lineage(spark, f"file://{tmp_path}/missing") is None
+
+
+def test_html_codec_gzip_roundtrip(spark, pages_df, extracted):
+    """extract_articles(html_codec='gzip') over gzip-compressed html equals
+    the plain run row for row; a corrupt gzip member isolates as an error
+    row instead of killing the Arrow batch."""
+    from readability_spark.spark.pages import gzip_html
+
+    gz = gzip_html(pages_df)
+    got = {r.url: r for r in extract_articles(gz, html_codec="gzip").collect()}
+    assert set(got) == set(extracted)
+    for url, row in extracted.items():
+        a = {k: v for k, v in row.asDict().items() if k != "extract_ms"}
+        b = {k: v for k, v in got[url].asDict().items() if k != "extract_ms"}
+        assert a == b, url
+
+    # corrupt member: valid gzip magic, truncated stream
+    bad = spark.createDataFrame(
+        [("u1", b"\x1f\x8b\x08\x00garbage"), ("u2", None)], "url string, html binary"
+    )
+    rows = {r.url: r for r in extract_articles(bad, html_codec="gzip").collect()}
+    assert rows["u1"].status == "error" and rows["u1"].error.startswith("gzip:")
+    assert rows["u2"].status == "error"
+
+    # unknown codec rejected loudly
+    with pytest.raises(ValueError):
+        extract_articles(pages_df, html_codec="zstd")

@@ -118,7 +118,9 @@ def materialize_input(sf_dir, factor, n_paragraphs):
     sf = sf_dir.rstrip("/").split("sf")[-1]
     # synth-source tag: template edits invalidate the cache (see bench.py)
     tag = bench._synth_tag(bench_pages_from_documents)
-    path = WORK / "input" / f"pages_sf{sf}_r{factor}_p{n_paragraphs}_{tag}"
+    codec = os.environ.get("INPUT_CODEC", "")
+    suffix = f"_{codec}" if codec else ""
+    path = WORK / "input" / f"pages_sf{sf}_r{factor}_p{n_paragraphs}_{tag}{suffix}"
     spark = get_spark(
         app_name="scaling-materialize",
         master="local[32]",
@@ -126,9 +128,12 @@ def materialize_input(sf_dir, factor, n_paragraphs):
     )
     if not (path / "_SUCCESS").exists():
         docs = bench.replicated_documents(spark, sf_dir, factor).repartition(64, "doc_id")
-        bench_pages_from_documents(docs, n_paragraphs=n_paragraphs).write.mode(
-            "overwrite"
-        ).parquet(str(path))
+        pages = bench_pages_from_documents(docs, n_paragraphs=n_paragraphs)
+        if codec == "gzip":
+            from readability_spark.spark.pages import gzip_html
+
+            pages = gzip_html(pages)
+        pages.write.mode("overwrite").parquet(str(path))
     n = spark.read.parquet(str(path)).count()
     spark.stop()
     return path, n
@@ -191,6 +196,10 @@ def run_level(cores, pages_path, tag):
     for kv in filter(None, os.environ.get("EXTRA_SPARK_CONF", "").split(",")):
         i = cmd.index("--py-files")
         cmd[i:i] = ["--conf", kv]
+    # INPUT_CODEC=gzip: the materialized input stores gzip-compressed html
+    # (see materialize_input) and the job decompresses in-UDF
+    if os.environ.get("INPUT_CODEC") == "gzip":
+        cmd += ["--html-codec", "gzip"]
     # EXTRA_JOB_ARGS: extra extract_job.py flags for supplementary runs
     # (e.g. "--content-extraction --min-text-length 0" to measure the
     # Arc90-scored pipeline); identical at both levels of a pair
@@ -416,10 +425,18 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
             "scale with the node count (4x scan spindles, 4x memory buses,",
             "per-node loopback pipes), which is why the in-envelope pairs —",
             "where the proxy's shared-bandwidth distortion is absent — are the",
-            "faithful evidence for the criterion.  (An",
-            "arrow.maxRecordsPerBatch sweep at 256/512/1024/2048, 2 reps each,",
-            "moved nothing outside noise: the exchange is bandwidth-bound, not",
-            "batching-bound.)",
+            "faithful evidence for the criterion.  Both byte-level levers were",
+            "then measured and came back NEGATIVE, which sharpens the",
+            "conclusion: an arrow.maxRecordsPerBatch sweep (256/512/1024/2048,",
+            "2 reps each) moved nothing outside noise, and a full REPEATS=3",
+            "8->32 run over gzip-compressed html input (html_codec='gzip' —",
+            "~10x fewer bytes through scan batches, shuffle, and the Arrow",
+            "pipe; BENCH/scaling_gzip.json) measured 0.596/0.728, statistically",
+            "identical to the plain 0.618/0.731.  The non-scaling floor is",
+            "therefore NOT byte volume: it is the host's fixed per-exchange",
+            "IPC/scheduling cost plus 64-threads-on-32-cores oversubscription,",
+            "neither of which any byte-level optimization can touch and",
+            "neither of which exists on a real 4N-executor cluster.)",
         ]
     lines += [
         "",
