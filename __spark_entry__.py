@@ -1466,6 +1466,86 @@ def gopher_quality_filter(spark, sf_dir):
 
 
 @_q(
+    "curated_corpus",
+    f"""
+    WITH gop AS (
+      SELECT doc_id, len(string_split(trim(text), ' ')) AS n_words
+      FROM documents WHERE trim(text) != ''
+    ),
+    canon AS (
+      SELECT doc_id, md5(text) AS text_hash,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    )
+    SELECT d.doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(d.text || ' contact reporter' || (d.doc_id % 20) ||
+                              '@example.com', '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+           nullif(trim(d.lang), '') AS lang,
+           CAST(g.n_words AS BIGINT) AS n_words
+    FROM documents d
+    JOIN gop g ON g.doc_id = d.doc_id
+    JOIN canon c ON c.doc_id = d.doc_id
+    WHERE g.n_words >= 30            -- quality gate (word-count rule)
+      AND c.canonical_id = d.doc_id  -- exact-dup removal, canonical wins
+    """,
+)
+def curated_corpus(spark, sf_dir):
+    """The end-to-end curation pipeline a training-data user actually runs,
+    composed from this engine's own operators in the standard order:
+    quality gate (word-count rule from the Gopher bundle) -> exact-dedup
+    keeping the canonical document (min doc_id per content hash, the
+    dedup_exact/window pattern) -> PII scrub on the surviving text (same
+    pattern set as pii_scrub; a planted email proves the redaction ran).
+    One query = the final corpus slice: (doc_id, scrubbed text, lang,
+    n_words).
+
+    Scale shape: the quality gate is a narrow filter fused into the scan;
+    the dedup is ONE window exchange on md5(text); the scrub is map-only
+    on the survivors — the whole pipeline costs a single shuffle."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    n_words = F.size(F.split(F.trim(F.col("text")), " "))
+    gated = docs.select("doc_id", "text", "lang", n_words.alias("n_words")).filter(
+        F.col("n_words") >= 30
+    )
+    # dedup must consider the FULL corpus (a gated-out doc can still be the
+    # canonical copy), matching the oracle's ungated canon CTE
+    canon = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("canonical_id"),
+    )
+    survivors = gated.join(canon, "doc_id").filter(
+        F.col("canonical_id") == F.col("doc_id")
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact reporter"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return survivors.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        F.nullif(F.trim(F.col("lang")), F.lit("")).alias("lang"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
+@_q(
     "lang_id_heuristic",
     """
     SELECT doc_id,

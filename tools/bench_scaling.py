@@ -468,13 +468,14 @@ def write_baseline_md(path, results, sf_dir, n_paragraphs):
         "protocol measures the default pipeline, whose output is the",
         "byte-identical-to-reference contract.",
         "",
-        "Round-3 no-regression confirmation (BENCH/scaling_r3check.json):",
-        "the headline 4->16 pair re-run at the REPEATS=3 protocol after the",
-        "round-3 changes PASSES (best rep 0.806 measured / 0.902 normalized,",
-        "reps 0.806/0.788/0.638) with absolute throughput IMPROVED at both",
-        "levels vs the r2 record (local[4] 2,374 vs 1,955 docs/s; local[16]",
-        "7,655 vs 6,924).  The r2 headline table above remains the",
-        "authoritative three-pair record.",
+        "Round-3 no-regression confirmation: BOTH in-envelope pairs re-run",
+        "after the round-3 changes PASS.  4->16 at REPEATS=3",
+        "(BENCH/scaling_r3check.json): best rep 0.806 measured / 0.902",
+        "normalized, with absolute throughput IMPROVED at both levels vs the",
+        "r2 record (local[4] 2,374 vs 1,955 docs/s; local[16] 7,655 vs",
+        "6,924).  2->8 (BENCH/scaling_r3check2x8.json): best rep 0.884",
+        "measured / 0.948 normalized.  The r2 headline table above remains",
+        "the authoritative three-pair record.",
         "",
         "Round-over-round: round 1 measured 522 docs/s at local[2], 2,393 at",
         "local[8] and 5,236 at local[32] on this protocol; the round-2 engine",
