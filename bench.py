@@ -198,6 +198,7 @@ def main():
         "gopher_quality_filter",
         "dedup_clusters",
         "repeated_ngram_spans",
+        "curated_corpus",
     ]
     allq = entrymod.queries()
     for name in bench_set:
