@@ -462,6 +462,25 @@ def paragraph_dedup(spark, sf_dir):
     )
 
 
+#: document-frequency cap for the dedup-clustering edge-builder: chunk
+#: hashes shared by more documents than this are boilerplate, not near-dup
+#: signal, and are dropped before the self-join (k^2-edge skew guard)
+_DC_MAX_DF = 64
+
+
+def _dedup_cluster_edges(spark, sf_dir):
+    """Edge stage of dedup_clusters, exposed for the physical-plan gate:
+    chunk-hash fingerprints -> df-capped hash-equality self-join
+    (textops.fingerprint_edges, max_df=_DC_MAX_DF=64)."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    hs = F.transform(_spark_chunks(arr), lambda c: F.md5(c))
+    cd = docs.select("doc_id", F.explode(hs).alias("h")).distinct()
+    from readability_spark.spark.textops import fingerprint_edges
+
+    return fingerprint_edges(cd, max_df=_DC_MAX_DF)
+
+
 @_q(
     "dedup_clusters",
     f"""
@@ -475,7 +494,11 @@ def paragraph_dedup(spark, sf_dir):
         FROM d
       ), unnest(hs) AS u(h)
     ),
-    cd AS (SELECT DISTINCT doc_id, h FROM chunks),
+    cd0 AS (SELECT DISTINCT doc_id, h FROM chunks),
+    hot AS (
+      SELECT h FROM cd0 GROUP BY h HAVING count(*) > {_DC_MAX_DF}
+    ),
+    cd AS (SELECT doc_id, h FROM cd0 WHERE h NOT IN (SELECT h FROM hot)),
     raw_edges AS (
       SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
       FROM cd a JOIN cd b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -502,23 +525,20 @@ def dedup_clusters(spark, sf_dir):
     convergence check) — rounds = graph diameter, tiny for near-dup
     graphs.  The DuckDB oracle recomputes the same components with a
     recursive CTE, so the hash match certifies the iterative Spark path
-    against a closed-form transitive closure."""
+    against a closed-form transitive closure.
+
+    Scale guard: the edge-builder is textops.fingerprint_edges with a
+    document-frequency cap (max_df=_DC_MAX_DF=64, mirrored in the oracle's
+    `hot` CTE) — a chunk hash shared by k documents would otherwise emit
+    k^2/2 edges, and real web corpora always have one boilerplate chunk in
+    10^6 pages.  Hashes above the cap are boilerplate chrome, not near-dup
+    signal; dropping them bounds the edge list at O(rows * max_df) AND
+    stops spurious mega-clusters.  Plan-checked (PLANS.md
+    §dedup_cluster_edges_df_guard: LeftAnti guard present, equi hash join,
+    no nested-loop/cartesian)."""
     from readability_spark.spark.textops import connected_components
 
-    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    arr = F.split(F.trim(F.col("text")), " ")
-    hs = F.transform(_spark_chunks(arr), lambda c: F.md5(c))
-    cd = docs.select("doc_id", F.explode(hs).alias("h")).distinct()
-    a, b = cd.alias("a"), cd.alias("b")
-    raw_edges = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
-    )
-    return connected_components(raw_edges)
+    return connected_components(_dedup_cluster_edges(spark, sf_dir))
 
 
 #: deterministic per-source boilerplate footer — the cross-document repeated
@@ -561,11 +581,16 @@ def repeated_ngram_spans(spark, sf_dir):
     deterministic per-source boilerplate footer so the detector has real
     repeated spans to find.
 
-    Scale: one explode (narrow), ONE shuffle on gram_hash for the
-    repeated-set aggregation, and a join back in which AQE broadcasts the
-    small repeated-hash side — the corpus-sized gram stream is never
-    shuffled twice.  The 10^12-doc variant samples gram positions
-    (winnowing, textops.winnow_fingerprints) before the aggregation."""
+    Scale: one explode (narrow); the repeated-set aggregation shuffles
+    only (gram_hash, doc_id) pairs — TWO exchanges, because countDistinct
+    is a two-phase aggregate (partial distinct on (hash, doc) then final
+    count per hash); the join back broadcasts the small repeated-hash
+    side (AQE-verified, plan-gated in PLANS.md
+    §repeated_ngram_spans_broadcast_joinback), so the corpus-sized gram
+    stream itself never shuffles — it is recomputed for the probe side
+    rather than cached, the right tradeoff for a narrow explode.  The
+    10^12-doc variant samples gram positions (winnowing,
+    textops.winnow_fingerprints) before the aggregation."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     arr = F.split(
         F.concat(
@@ -576,7 +601,12 @@ def repeated_ngram_spans(spark, sf_dir):
         ),
         " ",
     )
-    grams = docs.select(
+    # guard: F.sequence(1, n) with n < 1 yields a DESCENDING sequence in
+    # Spark (DuckDB's generate_series is empty), feeding invalid slice
+    # starts — docs with fewer than 10 tokens have no 10-grams by
+    # definition, so drop them structurally rather than relying on the
+    # injected footer keeping every doc >= 15 tokens
+    grams = docs.filter(F.size(arr) >= 10).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -1503,26 +1533,32 @@ def curated_corpus(spark, sf_dir):
     One query = the final corpus slice: (doc_id, scrubbed text, lang,
     n_words).
 
-    Scale shape: the quality gate is a narrow filter fused into the scan;
-    the dedup is ONE window exchange on md5(text); the scrub is map-only
-    on the survivors — the whole pipeline costs a single shuffle."""
+    Scale shape: the whole pipeline costs EXACTLY ONE shuffle — the
+    canonical-id window over md5(text) runs on the FULL corpus (a
+    gated-out doc can still be the canonical copy, matching the oracle's
+    ungated canon CTE), and the quality gate + canonical filter + scrub
+    are all narrow operations applied AFTER that window, so there is no
+    join anywhere.  Enforced by the plan gate (PLANS.md
+    §curated_corpus_one_exchange: exactly one Exchange, zero joins)."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     n_words = F.size(F.split(F.trim(F.col("text")), " "))
-    gated = docs.select("doc_id", "text", "lang", n_words.alias("n_words")).filter(
-        F.col("n_words") >= 30
-    )
-    # dedup must consider the FULL corpus (a gated-out doc can still be the
-    # canonical copy), matching the oracle's ungated canon CTE
-    canon = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5(F.col("text"))))
-        .alias("canonical_id"),
-    )
-    survivors = gated.join(canon, "doc_id").filter(
-        F.col("canonical_id") == F.col("doc_id")
+    survivors = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5(F.col("text"))))
+            .alias("canonical_id"),
+        )
+        .filter(
+            (F.col("canonical_id") == F.col("doc_id"))
+            & (F.trim(F.col("text")) != "")
+        )
+        .withColumn("n_words", n_words)
+        .filter(F.col("n_words") >= 30)
     )
     planted = F.concat(
         F.col("text"),
@@ -1983,20 +2019,29 @@ def stream_dedup_watermarked_q(spark, sf_dir):
     emitted exactly once, equal to the batch distinct-url oracle.  State
     for a url is evicted once the watermark passes it, so worker state is
     bounded by arrival-rate x window instead of corpus size.  The
-    watermark here exceeds the fixtures' full event-time span (doc_id*37 s
-    from 2026-01-01), so correctness cannot depend on the drain landing in
-    one micro-batch — rows older than the watermark at arrival are dropped
-    as late data per the operator's contract."""
+    watermark is DERIVED from the fixture's measured event-time span
+    (max-min warc_ts, + 24 h margin) rather than hardcoded: with a fixed
+    '720 hours' the oracle equality silently breaks once the corpus grows
+    past ~70k docs (doc_id*37 s span exceeds the watermark and sole
+    copies of the oldest urls are dropped as late data) — rows older than
+    the watermark at arrival are dropped per the operator's contract, so
+    the window must cover the span for the drain to be loss-free."""
     from readability_spark.streaming import stream_dedup_watermarked
 
     base = _stream_workdir(sf_dir, "dedup_wm")
     pages = read_pages(spark, sf_dir).select("url", "warc_ts", "html", "text", "lang")
     pages.write.mode("overwrite").parquet(str(base / "input"))
     pages.write.mode("append").parquet(str(base / "input"))  # duplicate drop
+    span = pages.agg(
+        (
+            F.unix_timestamp(F.max("warc_ts")) - F.unix_timestamp(F.min("warc_ts"))
+        ).alias("s")
+    ).first()["s"]
+    wm_hours = int((span or 0) // 3600) + 24  # span + 1-day margin
     sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
     return stream_dedup_watermarked(
         spark, str(base / "input"), str(base / "checkpoint"),
-        watermark="720 hours",
+        watermark=f"{wm_hours} hours",
         query_name=f"stream_dedup_wm_{sf_tag}",
     )
 

@@ -431,6 +431,46 @@ def lsh_cosine_pairs(
     )
 
 
+def fingerprint_edges(
+    cd: DataFrame, max_df=None, id_col="doc_id", hash_col="h"
+) -> DataFrame:
+    """Candidate-pair edges from a (doc, fingerprint-hash) frame via a
+    hash-equality self-join, with a document-frequency skew guard.
+
+    ``max_df`` is the same structural guard ``tokens(max_df=...)`` applies
+    to the Jaccard inverted index: a fingerprint shared by k documents
+    contributes k*(k-1)/2 edges, so ONE hot boilerplate chunk present in
+    10^6 web pages is a ~10^12-row edge bomb.  Hashes whose document
+    frequency exceeds ``max_df`` are dropped with a left-anti join BEFORE
+    the self-join, bounding the edge list at O(rows * max_df).  That is
+    also the right semantics, not just a performance cap: a chunk common
+    to more than ``max_df`` documents is boilerplate chrome, and edges
+    through it would glue unrelated documents into one giant spurious
+    cluster.  The frequent-hash side carries no forced broadcast (its
+    size depends on max_df vs the corpus) — AQE picks broadcast when it
+    measures small.
+
+    Returns distinct (a, b) with a < b; each undirected edge once."""
+    if max_df is not None:
+        hot = (
+            cd.groupBy(hash_col)
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select(hash_col)
+        )
+        cd = cd.join(hot, hash_col, "left_anti")
+    a, b = cd.alias("a"), cd.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{hash_col}") == F.col(f"b.{hash_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame, a_col="a", b_col="b", max_iterations=25
 ) -> DataFrame:
@@ -454,6 +494,16 @@ def connected_components(
     direction; both directions are generated internally.  Returns
     (doc_id, cluster_id = min doc_id in the component) for every node
     that appears in an edge.
+
+    Checkpoint retention: each round's ``localCheckpoint`` blocks stay in
+    the block manager until the superseded DataFrame is garbage-collected
+    on the driver (rebinding ``labels`` each round drops our reference;
+    lineage truncation means the new round's plan does not pin the old
+    RDD, so Spark's ContextCleaner unpersists it asynchronously).  Peak
+    retention is therefore a few rounds of (doc_id, label) pairs — two
+    longs per graph node — not the full iteration history; intentional,
+    no explicit unpersist (there is no public API to free a
+    localCheckpoint eagerly, and the frames are narrow).
     """
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")

@@ -602,6 +602,35 @@ class TestConnectedComponents:
         assert len(got) == 12
 
 
+class TestFingerprintEdges:
+    """textops.fingerprint_edges: the df-capped edge-builder feeding
+    dedup clustering — the k^2 skew guard for hot boilerplate chunks."""
+
+    def test_hot_hash_capped_not_quadratic(self, spark):
+        from readability_spark.spark.textops import fingerprint_edges
+
+        # one boilerplate hash shared by ALL 100 docs (uncapped: 4950
+        # edges), plus one genuine near-dup pair sharing a rare hash
+        rows = [(i, "hot") for i in range(100)] + [(7, "rare"), (8, "rare")]
+        cd = spark.createDataFrame(rows, "doc_id long, h string")
+        capped = fingerprint_edges(cd, max_df=8).collect()
+        # the hot hash is dropped entirely; only the rare-hash edge remains
+        assert {(r.a, r.b) for r in capped} == {(7, 8)}
+
+        # uncapped: all-pairs bomb (the rare edge is a subset of it)
+        assert fingerprint_edges(cd, max_df=None).count() == 100 * 99 // 2
+
+    def test_cap_keeps_hashes_at_or_below_max_df(self, spark):
+        from readability_spark.spark.textops import fingerprint_edges
+
+        # df == max_df is KEPT (cap is "more than max_df documents")
+        rows = [(i, "h3") for i in range(3)]
+        cd = spark.createDataFrame(rows, "doc_id long, h string")
+        got = {(r.a, r.b) for r in fingerprint_edges(cd, max_df=3).collect()}
+        assert got == {(0, 1), (0, 2), (1, 2)}
+        assert fingerprint_edges(cd, max_df=2).count() == 0
+
+
 class TestConnectedComponentsBound:
     def test_raises_on_non_convergence(self, spark):
         from readability_spark.spark.textops import connected_components

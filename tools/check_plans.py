@@ -200,6 +200,47 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate"],
     )
 
+    # 14. curated_corpus: the WHOLE end-to-end curation pipeline costs
+    # exactly one Exchange (the md5(text) canonical window) and has NO
+    # join — the gate/canonical filter/scrub are narrow post-window ops
+    cc_plan = plan_of(allq["curated_corpus"](spark, SF_DIR))
+    sections.append(("curated_corpus_one_exchange", cc_plan))
+    if len(re.findall(r"\(\d+\) Exchange", cc_plan)) != 1:
+        failures.append("curated_corpus: expected exactly one Exchange")
+    if "Join" in cc_plan:
+        failures.append("curated_corpus: must not contain a join")
+
+    # 15. dedup_clusters edge stage: the document-frequency skew guard
+    # (left-anti against hot hashes) must be present in the plan, and the
+    # self-join must be a hash equi-join — never nested-loop/cartesian
+    from __spark_entry__ import _dedup_cluster_edges
+
+    check(
+        "dedup_cluster_edges_df_guard",
+        _dedup_cluster_edges(spark, SF_DIR),
+        must=[r"LeftAnti"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
+    # 16. repeated_ngram_spans: the join-back of the small repeated-hash
+    # set must broadcast (AQE decides at runtime, so assert on the FINAL
+    # adaptive plan after execution) — the corpus-sized gram stream is
+    # never sort-merge shuffled for the join
+    rns = allq["repeated_ngram_spans"](spark, SF_DIR)
+    rns.count()  # materialize so AQE finalizes the plan
+    rns_plan = plan_of(rns)
+    sections.append(("repeated_ngram_spans_broadcast_joinback", rns_plan))
+    if not re.search(r"BroadcastHashJoin", rns_plan):
+        failures.append("repeated_ngram_spans: expected AQE broadcast join-back")
+    if re.search(r"SortMergeJoin", rns_plan):
+        failures.append("repeated_ngram_spans: must not sort-merge the gram stream")
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rns_plan))
+    if n_shuffles > 2:
+        failures.append(
+            f"repeated_ngram_spans: expected <=2 shuffle Exchanges "
+            f"(two-phase countDistinct), got {n_shuffles}"
+        )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
