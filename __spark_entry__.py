@@ -628,6 +628,75 @@ def repeated_ngram_spans(spark, sf_dir):
     )
 
 
+@_q(
+    "repeated_span_ranges",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(text) || {_SPAN_FOOTER_SQL}, ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    g AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_pos,
+             md5(array_to_string(list_slice(arr, u.i, u.i + 9), ' ')) AS gram_hash
+      FROM d, unnest(generate_series(1, len(arr) - 9)) AS u(i)
+    ),
+    rep AS (
+      SELECT gram_hash, count(DISTINCT doc_id) AS n_docs
+      FROM g GROUP BY gram_hash HAVING count(DISTINCT doc_id) > 1
+    ),
+    s AS (
+      SELECT g.doc_id, g.start_pos, rep.n_docs
+      FROM g JOIN rep USING (gram_hash)
+    ),
+    isl AS (
+      SELECT doc_id, start_pos, n_docs,
+             start_pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY start_pos) AS island
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(min(start_pos) AS INT) AS span_start,
+           CAST(max(start_pos) - min(start_pos) + 10 AS INT) AS span_len,
+           CAST(min(n_docs) AS BIGINT) AS n_docs_min
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def repeated_span_ranges(spark, sf_dir):
+    """Maximal repeated spans — the consumable output of Lee et al. 2022
+    exact-substring dedup: per-position repeated 10-grams
+    (repeated_ngram_spans) coalesced into maximal (doc_id, span_start,
+    span_len) ranges via a gaps-and-islands window (island = start_pos -
+    row_number per doc; consecutive repeated positions share an island).
+    span_len is in WORDS (last repeated gram start - first + 10);
+    n_docs_min is the weakest cross-document support along the span —
+    a conservative bound a dedup pass can threshold on.
+
+    Scale: adds exactly one window exchange on doc_id plus the island
+    groupBy (which reuses the doc_id partitioning — Catalyst plans it
+    without a second shuffle of the span stream) on top of the
+    repeated_ngram_spans plan; spans are ~1000x fewer rows than grams."""
+    from pyspark.sql import Window
+
+    spans = repeated_ngram_spans(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("start_pos")
+    isl = spans.select(
+        "doc_id",
+        "start_pos",
+        "n_docs",
+        (F.col("start_pos") - F.row_number().over(w)).alias("island"),
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("start_pos").alias("span_start"),
+            (F.max("start_pos") - F.min("start_pos") + F.lit(10)).alias("span_len"),
+            F.min("n_docs").alias("n_docs_min"),
+        )
+        .select("doc_id", "span_start", "span_len", "n_docs_min")
+    )
+
+
 #: PII patterns (public-knowledge conservative set; identical Java/RE2
 #: semantics so the DuckDB oracle replays them verbatim)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -1451,9 +1520,9 @@ def gopher_quality_filter(spark, sf_dir):
     keep verdict per document plus every named signal for audit.  Pure
     narrow projection over built-in array/string functions: no shuffle, no
     UDF; at 100 TB it rides the scan like repetition_filter.  (Gopher's
-    line-level rules — bullet/ellipsis line fractions — need newline
-    structure this corpus lacks; the per-word rules are the applicable
-    subset.)"""
+    line-level rules — bullet/ellipsis line fractions — live in
+    gopher_line_rules, over deterministically synthesized line
+    structure.)"""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     toks = F.split(F.trim(F.col("text")), " ")
     n_words = F.size(toks)
@@ -1492,6 +1561,112 @@ def gopher_quality_filter(spark, sf_dir):
         n_req.cast("long").alias("n_req_stopwords"),
         *[rule.alias(name) for name, rule in rules.items()],
         keep.alias("keep"),
+    )
+
+
+#: words per synthesized line for the Gopher line-level rules (the corpus
+#: carries no newlines, so line structure is synthesized deterministically
+#: on BOTH engines: 8-word lines; doc_id%5==0 -> every line bulleted,
+#: doc_id%5==1 -> every other line ends with an ellipsis, else untouched)
+_GL_K = 8
+_SQL_LINES0 = (
+    f"list_transform(generate_series(0, CAST(ceil(len(arr)/{_GL_K}.0) AS INT) - 1),"
+    f" i -> array_to_string(list_slice(arr, i*{_GL_K}+1, i*{_GL_K}+{_GL_K}), ' '))"
+)
+
+
+@_q(
+    "gopher_line_rules",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    l0 AS (SELECT doc_id, {_SQL_LINES0} AS lines0 FROM d),
+    l AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 5 = 0
+                 THEN list_transform(lines0, x -> '- ' || x)
+               WHEN doc_id % 5 = 1
+                 THEN list_transform(generate_series(1, len(lines0)),
+                        i -> CASE WHEN i % 2 = 1 THEN lines0[i] || ' ...'
+                                  ELSE lines0[i] END)
+               ELSE lines0
+             END AS lines
+      FROM l0
+    ),
+    m AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             len(list_filter(lines, x -> starts_with(x, '- ')
+                                      OR starts_with(x, '* '))) AS n_bullet,
+             len(list_filter(lines, x -> ends_with(x, '...'))) AS n_ellipsis
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           round(CAST(n_bullet AS DOUBLE) / n_lines, 4) AS bullet_line_frac,
+           round(CAST(n_ellipsis AS DOUBLE) / n_lines, 4) AS ellipsis_line_frac,
+           CAST(n_bullet AS DOUBLE) / n_lines < 0.9 AS pass_bullet_lines,
+           CAST(n_ellipsis AS DOUBLE) / n_lines < 0.3 AS pass_ellipsis_lines,
+           (CAST(n_bullet AS DOUBLE) / n_lines < 0.9)
+             AND (CAST(n_ellipsis AS DOUBLE) / n_lines < 0.3) AS keep
+    FROM m
+    """,
+)
+def gopher_line_rules(spark, sf_dir):
+    """Gopher/MassiveText LINE-level quality rules (Rae et al. 2021,
+    Table A1 — the remaining published rules gopher_quality_filter's
+    word-level bundle doesn't cover): reject documents where >= 90% of
+    lines start with a bullet marker, or >= 30% of lines end with an
+    ellipsis.  The synthetic corpus carries no newlines, so line
+    structure is synthesized deterministically and IDENTICALLY on both
+    engines (8-word lines; doc_id%5==0 docs are fully bulleted and must
+    fail the bullet rule, doc_id%5==1 docs get ellipses on alternating
+    lines — 50% >= 30% — and must fail the ellipsis rule, the rest pass
+    both), giving the rules real positives and negatives to separate.
+
+    Scale: pure narrow projection over built-in array/string functions —
+    no shuffle, no UDF; rides the scan like gopher_quality_filter."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _GL_K
+    lines0 = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+    lines = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.transform(lines0, lambda x: F.concat(F.lit("- "), x)),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.transform(
+                lines0,
+                lambda x, i: F.when(
+                    i % 2 == 0, F.concat(x, F.lit(" ..."))
+                ).otherwise(x),
+            ),
+        )
+        .otherwise(lines0)
+    )
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.startswith("- ") | x.startswith("* "))
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    bullet_frac = n_bullet.cast("double") / n_lines
+    ellipsis_frac = n_ellipsis.cast("double") / n_lines
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        (bullet_frac < 0.9).alias("pass_bullet_lines"),
+        (ellipsis_frac < 0.3).alias("pass_ellipsis_lines"),
+        ((bullet_frac < 0.9) & (ellipsis_frac < 0.3)).alias("keep"),
     )
 
 
@@ -1578,6 +1753,124 @@ def curated_corpus(spark, sf_dir):
         scrubbed.alias("text"),
         F.nullif(F.trim(F.col("lang")), F.lit("")).alias("lang"),
         F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
+@_q(
+    "curated_corpus_neardup",
+    f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 300 AND trim(text) != ''
+    ),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    minh0 AS (
+      SELECT doc_id, a,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 1, 8))  AS m0,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 9, 8))  AS m1,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 17, 8)) AS m2,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 25, 8)) AS m3
+      FROM tok, range(4) r(a) GROUP BY doc_id, a
+    ),
+    minh AS (
+      SELECT doc_id, a * 4 + lb.b AS k,
+             CASE lb.b WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS mh
+      FROM minh0, range(4) lb(b)
+    ),
+    bands AS (
+      SELECT doc_id, cast(k // 4 AS int) AS band,
+             md5(string_agg(mh, '' ORDER BY k)) AS bkey
+      FROM minh GROUP BY doc_id, cast(k // 4 AS int)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, count(*) AS shared
+      FROM cand
+      JOIN tok ta ON ta.doc_id = doc_a
+      JOIN tok tb ON tb.doc_id = doc_b AND ta.token = tb.token
+      GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc_id FROM edges),
+    reach AS (
+      SELECT doc_id, doc_id AS label FROM nodes
+      UNION
+      SELECT e.b AS doc_id, r.label FROM reach r JOIN edges e ON e.a = r.doc_id
+    ),
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT d.doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(d.text || ' contact reporter' || (d.doc_id % 20) ||
+                              '@example.com', '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+           CAST(coalesce(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM docs d LEFT JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def curated_corpus_neardup(spark, sf_dir):
+    """The NEAR-dup curation flagship — the pipeline a training-data team
+    actually runs, composed end-to-end from this engine's own green
+    stages: MinHash(16) -> 4x4 LSH banding -> bucket-join candidates ->
+    exact-Jaccard verify >= 0.5 (textops.minhash_lsh_pairs) -> connected
+    components over the verified pairs (textops.connected_components) ->
+    keep each cluster's canonical document (min doc_id; unclustered docs
+    are their own canonical) -> PII scrub on the survivors.  Output:
+    (doc_id, scrubbed text, cluster_id).  Bounded to doc_id < 300 like
+    minhash_lsh_pairs so the DuckDB oracle (same minhash lanes + a
+    recursive-CTE transitive closure) stays closed-form; at scale the
+    bound is dropped — every stage is the bucketed/bounded-verify path.
+
+    Exchange audit (sf-independent shape): tokenization explode is
+    narrow; minhash agg 1 exchange; banding agg 1; candidate bucket
+    equi-join 1 (hash on (band, bkey)); verify join shuffles only
+    LSH-collision docs; CC is one exchange per graph-diameter round on
+    the (tiny) verified-pair set; the final survivors filter is a
+    broadcast-sized left join against cluster labels (|clusters| <<
+    corpus) + map-only scrub.  The corpus-sized side is shuffled a
+    bounded constant number of times; nothing quadratic outside verified
+    LSH collisions."""
+    docs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 300) & (F.trim(F.col("text")) != "")
+    )
+    pairs = textops.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
+    clusters = textops.connected_components(pairs, a_col="doc_a", b_col="doc_b")
+    survivors = docs.join(clusters, "doc_id", "left").filter(
+        F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact reporter"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit("@example.com"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return survivors.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).cast("long").alias("cluster_id"),
     )
 
 
