@@ -404,6 +404,95 @@ def deep_wrappers(i, rng):
     )
 
 
+def parsely_metadata(i, rng):
+    """Reference 'parsely-metadata' analog: parsely-* meta names feed the
+    title/byline/published_time key lists at lowest priority
+    (/root/reference/src/stage/extract_meta_tags.rs key tables); on
+    alternating rows an og:title outranks parsely-title."""
+    og = f'<meta property="og:title" content="{_words(rng, 4).title()}"/>' if i % 2 else ""
+    return (
+        f"<html><head>{og}"
+        f'<meta name="parsely-title" content="{_words(rng, 5).title()}"/>'
+        f'<meta name="parsely-author" content="Riley Chen"/>'
+        f'<meta name="parsely-pub-date" content="2026-0{1 + i % 9}-11T08:00:00Z"/>'
+        f"</head><body><p>{_words(rng, 12)}.</p><p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
+def space_separated_properties(i, rng):
+    """Reference '004-metadata-space-separated-properties' analog: one meta
+    whose property attr carries MULTIPLE whitespace-separated keys (each
+    token matched independently), plus a name with dots normalized to
+    colons (extract_meta_tags.rs property-token split / name rewrite)."""
+    return (
+        f"<html><head>"
+        f'<meta property="dc:title og:title" content="{_words(rng, 4).title()}"/>'
+        f'<meta name="dcterm.creator" content="Ariel Fontaine"/>'
+        f"</head><body><p>{_words(rng, 11)}.</p><p>{_words(rng, 7)}.</p></body></html>"
+    )
+
+
+def jsonld_context_object(i, rng):
+    """Reference 'schema-org-context-object' analog: JSON-LD @context given
+    as an OBJECT with @vocab instead of a url string — accepted iff @vocab
+    contains schema.org (stages._is_schema_org dict branch)."""
+    import json as _json
+
+    accepted = i % 3 != 2
+    vocab = "https://schema.org/" if accepted else "https://example.com/ns/"
+    payload = _json.dumps(
+        {
+            "@context": {"@vocab": vocab},
+            "@type": "NewsArticle",
+            "headline": _words(rng, 5).title(),
+            "author": {"@type": "Person", "name": "Marin Osei"},
+            "description": _words(rng, 9),
+        }
+    )
+    return (
+        f"<html><head><title>Fallback Title</title>"
+        f'<script type="application/ld+json">{payload}</script>'
+        f"</head><body><p>{_words(rng, 12)}.</p><p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
+def article_author_url(i, rng):
+    """article:author meta handling: a value parsing as an absolute URL is
+    REJECTED as byline; a plain name is used when no author key matched
+    (extract_meta_tags.rs article_author URL guard)."""
+    author = "https://social.example/profiles/rc" if i % 2 == 0 else "Robin Calder"
+    return (
+        f"<html><head>"
+        f'<meta property="article:author" content="{author}"/>'
+        f"</head><body><p>{_words(rng, 10)}.</p><p>{_words(rng, 9)}.</p></body></html>"
+    )
+
+
+def comment_in_script(i, rng):
+    """Reference 'comment-inside-script-parsing' analog: script raw text
+    containing markup-shaped comments must be consumed as raw text by the
+    tokenizer and removed whole by RemoveDisallowedNodes — none of it may
+    leak into text_content."""
+    return (
+        f"<html><body><p>{_words(rng, 10)}.</p>"
+        f"<script>// <!-- <p>not article text {i}</p> --> \n"
+        f'var x = "<div>still script</div>";</script>'
+        f"<p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
+def data_url_image(i, rng):
+    """Reference 'data-url-image' analog: an inline base64 data: URL image
+    inside the article (no noscript twin) survives extraction untouched and
+    contributes no text."""
+    return (
+        f"<html><body><h1>{_words(rng, 3).title()}</h1>"
+        f"<p>{_words(rng, 11)}.</p>"
+        f'<img src="data:image/png;base64,iVBORw0KGgoAAA{i % 10}"/>'
+        f"<p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -432,6 +521,12 @@ FAMILIES = [
     ("comment_section", comment_section),
     ("embedded_videos", embedded_videos),
     ("deep_wrappers", deep_wrappers),
+    ("parsely_metadata", parsely_metadata),
+    ("space_separated_properties", space_separated_properties),
+    ("jsonld_context_object", jsonld_context_object),
+    ("article_author_url", article_author_url),
+    ("comment_in_script", comment_in_script),
+    ("data_url_image", data_url_image),
 ]
 
 
@@ -445,9 +540,9 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=200):
+def build_rows(n=240):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
-    through the remaining families (each family >= 3 rows at n=200)."""
+    through the remaining families (each family >= 3 rows at n=240)."""
     rows = []
     others = FAMILIES[1:]
     other_idx = 0

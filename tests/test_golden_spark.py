@@ -25,7 +25,7 @@ from readability_spark.fixtures import build_rows, golden_for
 from readability_spark.spark.job import extract_articles, run_job
 from readability_spark.spark.session import get_spark
 
-N_ROWS = 200
+N_ROWS = 240  # 33 families: 108 non-plain rows cycle 32 others, >=3 each
 
 
 @pytest.fixture(scope="module")
@@ -99,8 +99,10 @@ def test_family_statuses(extracted, fixture_rows):
 def test_every_family_present(fixture_rows):
     from collections import Counter
 
+    from readability_spark.fixtures import FAMILIES
+
     counts = Counter(r.family for r in fixture_rows)
-    assert len(counts) == 27
+    assert len(counts) == len(FAMILIES) == 33
     assert min(counts.values()) >= 3
 
 
