@@ -629,6 +629,112 @@ def repeated_ngram_spans(spark, sf_dir):
 
 
 @_q(
+    "repeated_ngram_spans_winnowed",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(text) || {_SPAN_FOOTER_SQL}, ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    dg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(arr) - 9),
+               i -> md5(array_to_string(list_slice(arr, i, i + 9), ' '))) AS g
+      FROM d WHERE len(arr) >= 13
+    ),
+    dm AS (
+      SELECT doc_id, g,
+             list_transform(generate_series(1, len(g) - 3),
+               j -> list_min(list_slice(g, j, j + 3))) AS m
+      FROM dg
+    ),
+    sel AS (
+      SELECT doc_id, CAST(u.i AS INT) AS start_pos, g[u.i] AS gram_hash
+      FROM dm, unnest(generate_series(1, len(g))) AS u(i)
+      WHERE list_max(list_slice(m, greatest(1, u.i - 3), least(u.i, len(m))))
+              = g[u.i]
+    ),
+    rep AS (
+      SELECT gram_hash, count(DISTINCT doc_id) AS n_docs
+      FROM sel GROUP BY gram_hash HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT sel.doc_id, sel.start_pos, sel.gram_hash,
+           CAST(rep.n_docs AS BIGINT) AS n_docs
+    FROM sel JOIN rep USING (gram_hash)
+    """,
+)
+def repeated_ngram_spans_winnowed(spark, sf_dir):
+    """The 10^12-document form of exact-substring dedup: winnowing-sampled
+    gram positions (Schleimer/Wilkerson/Aiken, w=4 windows over the 10-gram
+    hash stream) BEFORE the cross-document aggregation, cutting the
+    shuffled gram volume to ~2/(w+1) of repeated_ngram_spans' while
+    guaranteeing any repeated span of >= 10+4-1 = 13 words still shares a
+    sampled fingerprint.  Position i is selected iff some w-window's
+    minimum equals g[i]; since every window containing i has min <= g[i],
+    that is equivalent to max(window minima covering i) == g[i] — a pure
+    array expression, identical on both engines (ties select every
+    position carrying the tied hash, i.e. identical gram text — harmless
+    and portable).  Output schema matches repeated_ngram_spans; positions
+    are the sampled subset.
+
+    Scale: the gram/minima arrays are per-row map-side expressions
+    (materialized columns so Catalyst doesn't recompute the md5 array per
+    lambda — same CSE trap winnow_fingerprints documents); only sampled
+    (doc_id, start_pos, hash) triples ever explode, and only hash+doc
+    pairs shuffle for the two-phase countDistinct; the join-back
+    broadcasts the repeated-hash set like repeated_ngram_spans."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" copyright notice all material of "),
+            F.col("source"),
+            F.lit(" syndication network may not be reproduced without permission"),
+        ),
+        " ",
+    )
+    k, w = 10, 4
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+        lambda i: F.md5(F.array_join(F.slice(arr, i, k), " ")),
+    )
+    wg = docs.filter(F.size(arr) >= k + w - 1).select("doc_id", grams.alias("g"))
+    g = F.col("g")
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size(g) - (w - 1)),
+        lambda j: F.array_min(F.slice(g, j, w)),
+    )
+    wm = wg.select("doc_id", "g", minima.alias("m"))
+    m = F.col("m")
+    lo = lambda i: F.greatest(F.lit(1), i - (w - 1))  # noqa: E731
+    hi = lambda i: F.least(i, F.size(m))  # noqa: E731
+    sel = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(g)),
+            lambda i: F.struct(
+                i.cast("int").alias("start_pos"),
+                F.element_at(g, i).alias("gram_hash"),
+            ),
+        ),
+        lambda s: F.array_max(
+            F.slice(m, lo(s["start_pos"]), hi(s["start_pos"]) - lo(s["start_pos"]) + 1)
+        )
+        == s["gram_hash"],
+    )
+    sampled = wm.select("doc_id", F.explode(sel).alias("s")).select(
+        "doc_id", "s.start_pos", "s.gram_hash"
+    )
+    rep = (
+        sampled.groupBy("gram_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    return sampled.join(rep, "gram_hash").select(
+        "doc_id", "start_pos", "gram_hash", "n_docs"
+    )
+
+
+@_q(
     "repeated_span_ranges",
     f"""
     WITH d AS (

@@ -212,6 +212,7 @@ def main():
         "curated_corpus",
         # round-4 operators
         "repeated_span_ranges",
+        "repeated_ngram_spans_winnowed",
         "curated_corpus_neardup",
         "gopher_line_rules",
     ]
