@@ -241,6 +241,24 @@ def main():
             f"(two-phase countDistinct), got {n_shuffles}"
         )
 
+    # 17. repeated_span_ranges: the gaps-and-islands window (doc_id) and
+    # the island groupBy (doc_id, island) must SHARE one exchange — hash
+    # partitioning on doc_id satisfies the agg's clustered distribution on
+    # (doc_id, island), so the span stream shuffles exactly once on top of
+    # the repeated_ngram_spans plan (<=3 shuffle Exchanges total)
+    rsr = allq["repeated_span_ranges"](spark, SF_DIR)
+    rsr.count()
+    rsr_plan = plan_of(rsr)
+    sections.append(("repeated_span_ranges_shared_exchange", rsr_plan))
+    if re.search(r"SortMergeJoin", rsr_plan):
+        failures.append("repeated_span_ranges: must not sort-merge join")
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rsr_plan))
+    if n_shuffles > 3:
+        failures.append(
+            f"repeated_span_ranges: expected <=3 shuffle Exchanges "
+            f"(countDistinct x2 + one shared doc_id window/agg), got {n_shuffles}"
+        )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
