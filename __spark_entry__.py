@@ -1777,6 +1777,297 @@ def gopher_line_rules(spark, sf_dir):
 
 
 @_q(
+    "c4_quality_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    l0 AS (SELECT doc_id, {_SQL_LINES0} AS lines0 FROM d),
+    l AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 7 = 0
+                 THEN list_transform(lines0, x -> x || '.')
+               WHEN doc_id % 7 = 1
+                 THEN list_append(list_transform(lines0, x -> x || '.'),
+                                  'please enable javascript to view comments.')
+               WHEN doc_id % 7 = 2
+                 THEN list_append(lines0, 'lorem ipsum dolor sit amet.')
+               WHEN doc_id % 7 = 3
+                 THEN list_append(list_transform(lines0, x -> x || '.'),
+                                  'config {{ display mode }} end.')
+               ELSE lines0
+             END AS lines
+      FROM l0
+    ),
+    k AS (
+      SELECT doc_id, lines,
+             list_filter(lines, x ->
+               (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?'))
+               AND len(string_split(x, ' ')) >= 5
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           contains(lower(array_to_string(lines, ' ')), 'lorem ipsum') AS has_lorem,
+           contains(array_to_string(lines, ' '), '{{') AS has_brace,
+           len(kept) >= 3
+             AND NOT contains(lower(array_to_string(lines, ' ')), 'lorem ipsum')
+             AND NOT contains(array_to_string(lines, ' '), '{{') AS keep,
+           array_to_string(kept, ' ') AS cleaned_text
+    FROM k
+    """,
+)
+def c4_quality_filter(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020, the published heuristics
+    behind the C4 corpus): keep only lines that end in terminal
+    punctuation AND have >= 5 words AND don't mention 'javascript'; drop
+    whole documents containing 'lorem ipsum' or a curly brace (code), or
+    with fewer than 3 surviving sentence-lines.  Emits per-rule signals,
+    the keep verdict, and the cleaned text (kept lines re-joined) — the
+    actual C4 output.  Line structure is synthesized deterministically on
+    both engines like gopher_line_rules (8-word lines; doc_id%7 selects a
+    mutation: 0 = terminal-punct lines that pass, 1 = + a javascript
+    line C4 strips while keeping the doc, 2 = + a lorem-ipsum line that
+    kills the doc, 3 = + a curly-brace line that kills the doc, else
+    unpunctuated lines that fail the 3-sentence floor).
+
+    Scale: pure narrow projection over built-in array/string functions —
+    no shuffle, no UDF; rides the scan like the Gopher bundles."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _GL_K
+    lines0 = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+    dotted = F.transform(lines0, lambda x: F.concat(x, F.lit(".")))
+    mod = F.col("doc_id") % 7
+    lines = (
+        F.when(mod == 0, dotted)
+        .when(
+            mod == 1,
+            F.concat(
+                dotted, F.array(F.lit("please enable javascript to view comments."))
+            ),
+        )
+        .when(mod == 2, F.concat(lines0, F.array(F.lit("lorem ipsum dolor sit amet."))))
+        .when(
+            mod == 3,
+            F.concat(dotted, F.array(F.lit("config { display mode } end."))),
+        )
+        .otherwise(lines0)
+    )
+    kept = F.filter(
+        lines,
+        lambda x: (x.endswith(".") | x.endswith("!") | x.endswith("?"))
+        & (F.size(F.split(x, " ")) >= 5)
+        & (F.instr(F.lower(x), "javascript") == 0),
+    )
+    joined = F.array_join(lines, " ")
+    has_lorem = F.instr(F.lower(joined), "lorem ipsum") > 0
+    has_brace = F.instr(joined, "{") > 0
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((F.size(kept) >= 3) & ~has_lorem & ~has_brace).alias("keep"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
+#: CCNet-style perplexity keep threshold (unigram proxy; the synthetic
+#: corpus' per-doc NLL spans ~3.38-3.70 nats, median 3.40 — 3.45 splits
+#: "head+middle" from the "tail" like CCNet's per-language cutoffs)
+_PPL_THRESHOLD = 3.45
+
+
+@_q(
+    "perplexity_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    tok AS (SELECT doc_id, unnest(arr) AS token FROM d),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    v2 AS (
+      SELECT token,
+             ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vocab)) AS logp
+      FROM vocab
+    ),
+    s AS (
+      SELECT doc_id, count(*) AS n_tokens, -sum(logp) / count(*) AS nll
+      FROM tok JOIN v2 USING (token) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(nll, 4) AS nll,
+           round(nll, 4) <= {_PPL_THRESHOLD} AS keep
+    FROM s
+    """,
+)
+def perplexity_filter(spark, sf_dir):
+    """LM-perplexity quality filter — the CCNet (Wenzek et al. 2020) /
+    LLaMA-pipeline shape: score every document by average negative
+    log-likelihood under a language model and keep the low-perplexity
+    head/middle.  A real deployment plugs a KenLM model in; this sandbox
+    has no LM artifact, so the LM is a corpus-derived UNIGRAM model (two
+    passes: token counts -> logprobs, then per-doc mean NLL) — the
+    pipeline shape, join pattern and thresholding are exactly CCNet's,
+    with the model swappable behind the vocab frame.
+
+    Scale: one map-side-combined shuffle builds the vocab (result is
+    vocab-sized, tiny next to the corpus); the scoring join broadcasts
+    the vocab (AQE); one shuffle on doc_id aggregates per-doc NLL —
+    nothing corpus-sized is shuffled twice.  The global-total window runs
+    on the vocab-sized frame only."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = vocab.select(
+        "token",
+        F.log(
+            F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())
+        ).alias("logp"),
+    )
+    scored = (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("logp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("nll", 4).alias("nll"),
+        (F.round("nll", 4) <= F.lit(_PPL_THRESHOLD)).alias("keep"),
+    )
+
+
+_DSIR_HEX = "0123456789abcdef"
+
+
+@_q(
+    "dsir_importance",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             ((strpos('{_DSIR_HEX}', substr(h, 1, 1)) - 1) * 16
+              + (strpos('{_DSIR_HEX}', substr(h, 2, 1)) - 1)) % 64 AS bucket
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len(arr) - 1),
+                 i -> md5(arr[i] || ' ' || arr[i + 1]))) AS h
+        FROM d WHERE len(arr) >= 2
+      )
+    ),
+    src AS (SELECT bucket, count(*) AS c_s FROM f GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_t FROM f WHERE trim(lang) = 'en'
+            GROUP BY bucket),
+    w AS (
+      SELECT s.bucket,
+             ln((coalesce(t.c_t, 0) + 1.0)
+                / ((SELECT count(*) FROM f WHERE trim(lang) = 'en') + 64))
+             - ln((s.c_s + 1.0) / ((SELECT count(*) FROM f) + 64)) AS wt
+      FROM src s LEFT JOIN tgt t USING (bucket)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_features,
+           round(sum(wt), 4) AS log_weight,
+           round(sum(wt), 4) >= 0 AS target_like
+    FROM f JOIN w USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling — the published method for steering a raw crawl
+    toward a target distribution): hashed-bigram features (md5 -> 64
+    buckets), bag-of-buckets unigram models for target (here: the
+    lang='en' slice, standing in for the curated target corpus) and
+    source (the whole corpus), add-1 smoothing, and per-document
+    log-importance-weight = sum over features of log p_target/p_source.
+    DSIR then Gumbel-resamples by these weights; the weight computation
+    is the distributed part and is what this operator provides, plus a
+    target_like flag (weight >= 0).
+
+    Scale: feature hashing is a narrow explode; BOTH n-gram models are
+    64-row aggregates (map-side combined, one shuffle each over bucket
+    ids only); the weight table (64 rows) broadcasts back onto the
+    feature stream; one doc_id shuffle aggregates per-doc weights.  The
+    corpus-sized feature stream is never joined to anything larger than
+    64 rows."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 1),
+        lambda i: F.md5(
+            F.concat(F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1))
+        ),
+    )
+    feats = (
+        docs.filter(F.size(arr) >= 2)
+        .select("doc_id", "lang", F.explode(grams).alias("h"))
+        .select(
+            "doc_id",
+            "lang",
+            F.pmod(F.conv(F.substring("h", 1, 2), 16, 10).cast("int"), F.lit(64)).alias(
+                "bucket"
+            ),
+        )
+    )
+    src = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
+    tgt = (
+        feats.filter(F.trim(F.col("lang")) == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    s_total = feats.agg(F.count(F.lit(1)).alias("s_tot"))
+    t_total = feats.filter(F.trim(F.col("lang")) == "en").agg(
+        F.count(F.lit(1)).alias("t_tot")
+    )
+    w = (
+        src.join(tgt, "bucket", "left")
+        .na.fill(0, ["c_t"])
+        .crossJoin(F.broadcast(s_total))
+        .crossJoin(F.broadcast(t_total))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_t") + 1.0) / (F.col("t_tot") + 64))
+                - F.log((F.col("c_s") + 1.0) / (F.col("s_tot") + 64))
+            ).alias("wt"),
+        )
+    )
+    return (
+        feats.join(w, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_features"),
+            F.round(F.sum("wt"), 4).alias("log_weight"),
+            (F.round(F.sum("wt"), 4) >= 0).alias("target_like"),
+        )
+        .select("doc_id", "n_features", "log_weight", "target_like")
+    )
+
+
+@_q(
     "curated_corpus",
     f"""
     WITH gop AS (

@@ -217,6 +217,9 @@ def main():
         "repeated_ngram_spans_winnowed",
         "curated_corpus_neardup",
         "gopher_line_rules",
+        "c4_quality_filter",
+        "perplexity_filter",
+        "dsir_importance",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)
