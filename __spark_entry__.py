@@ -2248,7 +2248,11 @@ def curated_corpus_neardup(spark, sf_dir):
     )
     pairs = textops.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
     clusters = textops.connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    survivors = docs.join(clusters, "doc_id", "left").filter(
+    # clusters holds one row per near-duplicate document (|clusters| <<
+    # corpus by construction — only LSH-verified dup members get labels),
+    # but it comes out of the iterative CC via localCheckpoint so AQE has
+    # no size stats for it: hint the broadcast explicitly.
+    survivors = docs.join(F.broadcast(clusters), "doc_id", "left").filter(
         F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
     )
     planted = F.concat(

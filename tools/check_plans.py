@@ -259,6 +259,88 @@ def main():
             f"(countDistinct x2 + one shared doc_id window/agg), got {n_shuffles}"
         )
 
+    # 18. Gopher line-level rules: pure narrow projection over array/string
+    # built-ins — the synthesized line structure never leaves the row
+    check(
+        "gopher_line_rules_map_only",
+        allq["gopher_line_rules"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
+    # 19. C4 cleaning rules: same contract — line synthesis, per-line keep
+    # filter and cleaned-text re-join are all narrow; no shuffle anywhere
+    check(
+        "c4_quality_filter_map_only",
+        allq["c4_quality_filter"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
+    # 20. CCNet perplexity filter: the vocab (result of the token agg,
+    # vocab-sized << corpus) must broadcast back onto the token stream —
+    # AQE decides at runtime, so materialize first; the corpus-sized token
+    # stream is never sort-merge shuffled for the scoring join
+    ppl = allq["perplexity_filter"](spark, SF_DIR)
+    ppl.count()
+    ppl_plan = plan_of(ppl)
+    sections.append(("perplexity_filter_broadcast_vocab", ppl_plan))
+    if not re.search(r"BroadcastHashJoin", ppl_plan):
+        failures.append("perplexity_filter: expected AQE broadcast of the vocab")
+    if re.search(r"SortMergeJoin", ppl_plan):
+        failures.append("perplexity_filter: must not sort-merge the token stream")
+
+    # 21. DSIR importance weights: both n-gram models and the weight table
+    # are 64-row frames — every join onto the corpus-sized feature stream
+    # must broadcast; no cartesian/SMJ anywhere
+    dsir = allq["dsir_importance"](spark, SF_DIR)
+    dsir.count()
+    dsir_plan = plan_of(dsir)
+    sections.append(("dsir_importance_broadcast_models", dsir_plan))
+    if not re.search(r"BroadcastHashJoin", dsir_plan):
+        failures.append("dsir_importance: expected broadcast of the 64-row weight table")
+    if re.search(r"SortMergeJoin", dsir_plan):
+        failures.append("dsir_importance: must not sort-merge the feature stream")
+    if re.search(r"CartesianProduct", dsir_plan):
+        failures.append("dsir_importance: must not contain a cartesian product")
+
+    # 22. winnowing-sampled exact-substring dedup: same plan contract as
+    # repeated_ngram_spans — only sampled hash triples shuffle (two-phase
+    # countDistinct = <=2 Exchanges) and the repeated-hash join-back
+    # broadcasts on the AQE-final plan
+    rnw = allq["repeated_ngram_spans_winnowed"](spark, SF_DIR)
+    rnw.count()
+    rnw_plan = plan_of(rnw)
+    sections.append(("repeated_ngram_spans_winnowed_broadcast_joinback", rnw_plan))
+    if not re.search(r"BroadcastHashJoin", rnw_plan):
+        failures.append("repeated_ngram_spans_winnowed: expected AQE broadcast join-back")
+    if re.search(r"SortMergeJoin", rnw_plan):
+        failures.append(
+            "repeated_ngram_spans_winnowed: must not sort-merge the gram stream"
+        )
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rnw_plan))
+    if n_shuffles > 2:
+        failures.append(
+            f"repeated_ngram_spans_winnowed: expected <=2 shuffle Exchanges, "
+            f"got {n_shuffles}"
+        )
+
+    # 23. near-dup curation flagship: the final survivors join is against
+    # the (tiny) cluster-label frame and must broadcast; nothing in the
+    # composed plan may go cartesian/nested-loop
+    ccn = allq["curated_corpus_neardup"](spark, SF_DIR)
+    ccn.count()
+    ccn_plan = plan_of(ccn)
+    sections.append(("curated_corpus_neardup_broadcast_labels", ccn_plan))
+    if not re.search(r"BroadcastHashJoin", ccn_plan):
+        failures.append(
+            "curated_corpus_neardup: expected broadcast join of cluster labels"
+        )
+    if re.search(r"SortMergeJoin", ccn_plan):
+        failures.append("curated_corpus_neardup: must not sort-merge the corpus side")
+    if re.search(r"CartesianProduct", ccn_plan):
+        failures.append("curated_corpus_neardup: must not contain a cartesian product")
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
