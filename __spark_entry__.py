@@ -2007,12 +2007,15 @@ def dsir_importance(spark, sf_dir):
     is the distributed part and is what this operator provides, plus a
     target_like flag (weight >= 0).
 
-    Scale: feature hashing is a narrow explode; BOTH n-gram models are
-    64-row aggregates (map-side combined, one shuffle each over bucket
-    ids only); the weight table (64 rows) broadcasts back onto the
-    feature stream; one doc_id shuffle aggregates per-doc weights.  The
-    corpus-sized feature stream is never joined to anything larger than
-    64 rows."""
+    Scale: feature hashing is a narrow explode; BOTH n-gram models come
+    out of ONE 64-row conditional aggregate (map-side combined, a single
+    shuffle of bucket ids only — the lang='en' tally is a count_if lane
+    in the same agg, and the smoothing totals are window sums over the
+    64-row result, so the corpus-sized feature stream is scanned exactly
+    twice: model build + scoring); the weight table (64 rows) broadcasts
+    back onto the feature stream; one doc_id shuffle aggregates per-doc
+    weights.  The corpus-sized feature stream is never joined to
+    anything larger than 64 rows."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     arr = F.split(F.trim(F.col("text")), " ")
     grams = F.transform(
@@ -2032,28 +2035,25 @@ def dsir_importance(spark, sf_dir):
             ),
         )
     )
-    src = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_s"))
-    tgt = (
-        feats.filter(F.trim(F.col("lang")) == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c_t"))
+    # BOTH models in ONE pass over the feature stream: a conditional
+    # count folds the target (lang='en') tally into the same map-side
+    # combine as the source tally, and the grand totals come from the
+    # 64-row aggregate itself (every feature has a bucket, so the bucket
+    # sums ARE the totals) — the corpus is scanned exactly twice (model
+    # build + scoring), not four times.
+    from pyspark.sql import Window
+
+    counts = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_s"),
+        F.count_if(F.trim(F.col("lang")) == "en").alias("c_t"),
     )
-    s_total = feats.agg(F.count(F.lit(1)).alias("s_tot"))
-    t_total = feats.filter(F.trim(F.col("lang")) == "en").agg(
-        F.count(F.lit(1)).alias("t_tot")
-    )
-    w = (
-        src.join(tgt, "bucket", "left")
-        .na.fill(0, ["c_t"])
-        .crossJoin(F.broadcast(s_total))
-        .crossJoin(F.broadcast(t_total))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("c_t") + 1.0) / (F.col("t_tot") + 64))
-                - F.log((F.col("c_s") + 1.0) / (F.col("s_tot") + 64))
-            ).alias("wt"),
-        )
+    tot = Window.partitionBy()  # 64-row frame; the global window is free
+    w = counts.select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.sum("c_t").over(tot) + 64))
+            - F.log((F.col("c_s") + 1.0) / (F.sum("c_s").over(tot) + 64))
+        ).alias("wt"),
     )
     return (
         feats.join(w, "bucket")
