@@ -220,6 +220,10 @@ def main():
         "c4_quality_filter",
         "perplexity_filter",
         "dsir_importance",
+        "ccnet_buckets",
+        "sequence_pack",
+        "url_blocklist_filter",
+        "pagerank_links",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -341,6 +341,53 @@ def main():
     if re.search(r"CartesianProduct", ccn_plan):
         failures.append("curated_corpus_neardup: must not contain a cartesian product")
 
+    # 24. sequence packing: exactly ONE exchange (the per-source-shard
+    # running-sum window); the boundary explode stays narrow
+    check(
+        "sequence_pack_one_exchange",
+        allq["sequence_pack"](spark, SF_DIR),
+        must=[r"Window", r"Generate"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+    )
+    sp_plan = sections[-1][1]
+    n_ex = len(re.findall(r"\(\d+\) Exchange", sp_plan))
+    if n_ex != 1:
+        failures.append(f"sequence_pack: expected exactly 1 Exchange, got {n_ex}")
+
+    # 25. URL blocklist: the rules frame broadcasts (nested-loop is the
+    # expected join for the OR-of-kinds predicate) and the corpus side
+    # never shuffles
+    bl = allq["url_blocklist_filter"](spark, SF_DIR)
+    bl_plan = plan_of(bl)
+    sections.append(("url_blocklist_broadcast_rules", bl_plan))
+    if not re.search(r"BroadcastNestedLoopJoin.*LeftAnti|LeftAnti.*BroadcastNestedLoopJoin",
+                     bl_plan, re.S):
+        failures.append("url_blocklist_filter: expected broadcast left-anti of rules")
+    if re.search(r"\(\d+\) Exchange", bl_plan):
+        failures.append("url_blocklist_filter: the corpus side must not shuffle")
+
+    # 26. ccnet bucketing: the per-lang cutoff table broadcasts back onto
+    # the scored stream; no corpus-sized sort-merge join
+    ccb = allq["ccnet_buckets"](spark, SF_DIR)
+    ccb.count()
+    ccb_plan = plan_of(ccb)
+    sections.append(("ccnet_buckets_broadcast_cutoffs", ccb_plan))
+    if not re.search(r"BroadcastHashJoin", ccb_plan):
+        failures.append("ccnet_buckets: expected broadcast of the cutoff table")
+    if re.search(r"CartesianProduct", ccb_plan):
+        failures.append("ccnet_buckets: must not contain a cartesian product")
+
+    # 27. pagerank: iterations shuffle contribution tuples only — the
+    # node-list join-back must broadcast under AQE, never cartesian
+    pr = allq["pagerank_links"](spark, SF_DIR)
+    pr.count()
+    pr_plan = plan_of(pr)
+    sections.append(("pagerank_links_broadcast_iterations", pr_plan))
+    if re.search(r"CartesianProduct", pr_plan):
+        failures.append("pagerank_links: must not contain a cartesian product")
+    if not re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", pr_plan):
+        failures.append("pagerank_links: expected broadcast joins in the loop")
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
