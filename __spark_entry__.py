@@ -1887,6 +1887,41 @@ def c4_quality_filter(spark, sf_dir):
 _PPL_THRESHOLD = 3.45
 
 
+def _unigram_nll(docs):
+    """Per-document mean negative log-likelihood under a corpus-derived
+    unigram LM — the scoring core shared by perplexity_filter and
+    ccnet_buckets.  Input must already be filtered to non-blank text.
+    Returns (doc_id, lang, n_tokens, nll).
+
+    Scale: the vocab aggregate is map-side combined and vocab-sized; its
+    global-total window runs on that small frame only; the scoring join
+    broadcasts the vocab back onto the token stream (AQE); one doc_id
+    shuffle aggregates per-doc NLL."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = vocab.select(
+        "token",
+        F.log(
+            F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())
+        ).alias("logp"),
+    )
+    return (
+        tok.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("logp") / F.count(F.lit(1))).alias("nll"),
+        )
+    )
+
+
 @_q(
     "perplexity_filter",
     f"""
@@ -1927,27 +1962,8 @@ def perplexity_filter(spark, sf_dir):
     the vocab (AQE); one shuffle on doc_id aggregates per-doc NLL —
     nothing corpus-sized is shuffled twice.  The global-total window runs
     on the vocab-sized frame only."""
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-    )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    vocab = vocab.select(
-        "token",
-        F.log(
-            F.col("c").cast("double") / F.sum("c").over(Window.partitionBy())
-        ).alias("logp"),
-    )
-    scored = (
-        tok.join(vocab, "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (-F.sum("logp") / F.count(F.lit(1))).alias("nll"),
-        )
-    )
+    scored = _unigram_nll(docs)
     return scored.select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -2064,6 +2080,431 @@ def dsir_importance(spark, sf_dir):
             (F.round(F.sum("wt"), 4) >= 0).alias("target_like"),
         )
         .select("doc_id", "n_features", "log_weight", "target_like")
+    )
+
+
+@_q(
+    "ccnet_buckets",
+    """
+    WITH d AS (
+      SELECT doc_id, lang, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    tok AS (SELECT doc_id, lang, unnest(arr) AS token FROM d),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    v2 AS (
+      SELECT token,
+             ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vocab)) AS logp
+      FROM vocab
+    ),
+    s AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             -sum(logp) / count(*) AS nll
+      FROM tok JOIN v2 USING (token) GROUP BY doc_id
+    ),
+    samp AS (
+      SELECT doc_id, lang, round(nll, 4) AS rnll FROM s WHERE doc_id % 20 = 0
+    ),
+    rk AS (
+      SELECT lang, rnll,
+             row_number() OVER (PARTITION BY lang ORDER BY rnll, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM samp
+    ),
+    cuts AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                 THEN rnll END) AS head_cut,
+             max(CASE WHEN rn = CAST(ceil(n * 2 / 3.0) AS BIGINT)
+                 THEN rnll END) AS mid_cut
+      FROM rk GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, round(s.nll, 4) AS nll,
+           CASE WHEN c.head_cut IS NULL THEN 'unsampled'
+                WHEN round(s.nll, 4) <= c.head_cut THEN 'head'
+                WHEN round(s.nll, 4) <= c.mid_cut THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s LEFT JOIN cuts c USING (lang)
+    """,
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3): score
+    every document's LM perplexity (the shared unigram proxy,
+    _unigram_nll), estimate PER-LANGUAGE tercile cutoffs on a
+    deterministic 5% sample (doc_id % 20 == 0 — CCNet itself computes
+    its cutoffs on a sampled slice, not the full corpus), then label
+    each document head/middle/tail against its language's cutoffs
+    map-side.  Cutoffs are the sample's order statistics at ranks
+    ceil(n/3) and ceil(2n/3) under the total order (nll, doc_id) — a
+    deterministic discrete quantile both engines compute identically.
+    Languages absent from the sample label as 'unsampled'.
+
+    Scale: scoring is the two-pass _unigram_nll shape; the sample frame
+    is 5% of one row per doc, its per-lang windows are sample-sized; the
+    cutoff table (one row per language) broadcasts back onto the scored
+    stream — no corpus-sized window partitioned by lang anywhere, which
+    is exactly why the cutoffs come from a sample: ntile over
+    PARTITION BY lang on the full corpus would put one language's
+    billions of rows through a single window partition."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    scored = _unigram_nll(docs).select(
+        "doc_id", "lang", F.round("nll", 4).alias("rnll")
+    )
+    samp = scored.filter(F.col("doc_id") % 20 == 0)
+    wl = Window.partitionBy("lang").orderBy("rnll", "doc_id")
+    ranked = samp.select(
+        "lang",
+        "rnll",
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("rnll"))
+        ).alias("head_cut"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 2 / 3.0), F.col("rnll"))
+        ).alias("mid_cut"),
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        F.col("rnll").alias("nll"),
+        F.when(F.col("head_cut").isNull(), "unsampled")
+        .when(F.col("rnll") <= F.col("head_cut"), "head")
+        .when(F.col("rnll") <= F.col("mid_cut"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+#: training-sequence length (tokens) for the packing operator
+_SEQ_LEN = 64
+
+
+@_q(
+    "sequence_pack",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, len(string_split(trim(text), ' ')) AS n_tok
+      FROM documents WHERE trim(text) != ''
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS doc_start
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, source, n_tok, doc_start,
+             unnest(generate_series(doc_start // {_SEQ_LEN},
+                                    (doc_start + n_tok - 1) // {_SEQ_LEN}))
+               AS seq_id
+      FROM c
+    )
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+           CAST(greatest(0, doc_start - seq_id * {_SEQ_LEN}) AS BIGINT)
+             AS seq_off,
+           CAST(greatest(0, seq_id * {_SEQ_LEN} - doc_start) + 1 AS BIGINT)
+             AS tok_start,
+           CAST(least(doc_start + n_tok, (seq_id + 1) * {_SEQ_LEN})
+                - greatest(doc_start, seq_id * {_SEQ_LEN}) AS BIGINT)
+             AS tok_len
+    FROM e
+    """,
+)
+def sequence_pack(spark, sf_dir):
+    """Training-sequence packing — the last hop of an LLM data pipeline:
+    concatenate documents end-to-end and cut fixed-length training
+    windows ({_SEQ_LEN} tokens), emitting for every (sequence, document)
+    overlap the slice map (seq_id, doc_id, offset-in-sequence, token
+    range in the doc) a loader needs to materialize packed batches with
+    document-boundary/attention-mask info.  Packing is PER SOURCE SHARD
+    (cumulative token offsets over a window partitioned by source,
+    ordered by doc_id) — the standard practice: a global pack order
+    would serialize the whole corpus through one partition, while
+    per-shard packing keeps determinism AND parallelism; a doc spanning
+    a boundary explodes into one row per sequence it touches.
+
+    Scale: exactly ONE exchange (the source-shard window); the
+    boundary explode is narrow; shards are bounded by construction
+    (a shard = one crawl file / WARC segment in production), so the
+    running-sum window never sees unbounded partitions."""
+    from pyspark.sql import Window
+
+    L = _SEQ_LEN
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tok"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("long").alias("doc_start"),
+    )
+    first_seq = F.floor(F.col("doc_start") / L).cast("long")
+    last_seq = F.floor((F.col("doc_start") + F.col("n_tok") - 1) / L).cast("long")
+    e = c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "doc_start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_lo = F.col("seq_id") * L
+    seq_hi = (F.col("seq_id") + 1) * L
+    doc_end = F.col("doc_start") + F.col("n_tok")
+    return e.select(
+        "source",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        F.greatest(F.lit(0), F.col("doc_start") - seq_lo)
+        .cast("long")
+        .alias("seq_off"),
+        (F.greatest(F.lit(0), seq_lo - F.col("doc_start")) + 1)
+        .cast("long")
+        .alias("tok_start"),
+        (F.least(doc_end, seq_hi) - F.greatest(F.col("doc_start"), seq_lo))
+        .cast("long")
+        .alias("tok_len"),
+    )
+
+
+#: URL blocklist (UT1-style category list, tiny stand-in): exact-host
+#: rules and wildcard-subdomain suffix rules.  At production scale the
+#: list is ~4M domains — then it becomes a broadcast-hash-join table on
+#: the registered domain (exact tier) plus a reversed-domain prefix
+#: match (suffix tier); the rule semantics below are identical.
+_URL_BLOCKLIST = [
+    ("exact", "src3.example.com"),
+    ("exact", "gambling-portal.example.net"),
+    ("suffix", ".ads-hub.example.com"),
+    ("suffix", ".tracker.example.org"),
+]
+
+
+@_q(
+    "url_blocklist_filter",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN 'media.ads-hub.example.com'
+                  WHEN doc_id % 10 < 4 THEN 'hot.example.com'
+                  ELSE source || '.example.com' END AS host
+      FROM documents
+    )
+    SELECT doc_id, 'https://' || host || '/doc-' || doc_id AS url, host
+    FROM pages p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (VALUES
+        ('exact', 'src3.example.com'),
+        ('exact', 'gambling-portal.example.net'),
+        ('suffix', '.ads-hub.example.com'),
+        ('suffix', '.tracker.example.org')) AS b(kind, pattern)
+      WHERE (b.kind = 'exact' AND p.host = b.pattern)
+         OR (b.kind = 'suffix' AND ends_with(p.host, b.pattern))
+    )
+    """,
+)
+def url_blocklist_filter(spark, sf_dir):
+    """URL/domain blocklist filtering — the first gate of
+    RefinedWeb/FineWeb-style curation (UT1-category blocklists): parse
+    the host out of each page URL and drop pages whose host matches an
+    exact-host rule or falls under a wildcard-subdomain suffix rule.
+    Hosts are synthesized deterministically (doc_id%11==0 pages sit on a
+    blocked ad subdomain, giving the suffix tier real positives; src3
+    pages exercise the exact tier; two rules match nothing so the
+    negatives are real too).  Returns the surviving (doc_id, url, host).
+
+    Scale: the blocklist broadcasts (left_anti against a 4-row — in
+    production ~4M-row — rules frame; the OR-of-kinds predicate makes it
+    a broadcast nested-loop, and at the 4M scale the exact tier splits
+    into a broadcast HASH anti-join on host with only the suffix tier
+    left to the nested loop over reversed-domain prefixes); the corpus
+    side never shuffles."""
+    host = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("media.ads-hub.example.com"))
+        .when(F.col("doc_id") % 10 < 4, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    )
+    pages = _docs(spark, sf_dir).select("doc_id", host.alias("host"))
+    rules = spark.createDataFrame(_URL_BLOCKLIST, "kind string, pattern string")
+    match = ((F.col("kind") == "exact") & (F.col("host") == F.col("pattern"))) | (
+        (F.col("kind") == "suffix") & F.col("host").endswith(F.col("pattern"))
+    )
+    kept = pages.join(F.broadcast(rules), match, "left_anti")
+    return kept.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("host"), F.lit("/doc-"), F.col("doc_id")
+        ).alias("url"),
+        "host",
+    )
+
+
+@_q(
+    "semdedup_embeddings",
+    """
+    WITH RECURSIVE c AS (
+      SELECT vec_id AS centroid_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             list_dot_product(e.embedding, c.cvec)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+      FROM embeddings e CROSS JOIN c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.embedding, b.embedding)
+              / (sqrt(list_dot_product(a.embedding, a.embedding))
+                 * sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.4
+    ),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM pairs
+      UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS vec_id FROM edges),
+    reach AS (
+      SELECT vec_id, vec_id AS label FROM nodes
+      UNION
+      SELECT e2.b AS vec_id, r.label FROM reach r JOIN edges e2 ON e2.a = r.vec_id
+    ),
+    clusters AS (SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY vec_id)
+    SELECT v.vec_id,
+           CAST(coalesce(cl.cluster_id, v.vec_id) AS BIGINT) AS sem_cluster,
+           (cl.cluster_id IS NULL OR cl.cluster_id = v.vec_id) AS keep
+    FROM embeddings v LEFT JOIN clusters cl USING (vec_id)
+    """,
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table
+    (textops.semdedup): coarse-cluster the embedding space against the
+    deterministic vec_id<8 codebook, compare cosines only within a
+    cluster, connect pairs >= 0.4 into components, keep each component's
+    min-id member.  The threshold matches embedding_near_dup's so the
+    semantic-dup graph is non-trivially populated on this corpus.
+
+    Scale: see textops.semdedup — assignment is a map-only inlined-
+    codebook pass, the quadratic pair join is bounded per cluster (the
+    paper's codebook grows with the corpus), CC runs on the tiny dup
+    graph, and the label frame broadcasts back."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    return textops.semdedup(emb, centroids, threshold=0.4)
+
+
+@_q(
+    "pagerank_links",
+    """
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    t AS (
+      SELECT doc_id,
+             list_filter(list_distinct([
+               (doc_id * 7 + 3) % n.n,
+               (doc_id * 13 + 11) % n.n,
+               (doc_id + 1) % n.n]), v -> v != doc_id) AS tgts
+      FROM documents CROSS JOIN n
+    ),
+    e AS (SELECT doc_id AS src, len(tgts) AS deg, unnest(tgts) AS dst FROM t),
+    r0 AS (SELECT doc_id, 1.0 / n.n AS rank FROM documents CROSS JOIN n),
+    c1 AS (SELECT dst, sum(r.rank / e.deg) AS c FROM e
+           JOIN r0 r ON r.doc_id = e.src GROUP BY dst),
+    r1 AS (SELECT d.doc_id, 0.15 / n.n + 0.85 * coalesce(c1.c, 0) AS rank
+           FROM documents d CROSS JOIN n LEFT JOIN c1 ON c1.dst = d.doc_id),
+    c2 AS (SELECT dst, sum(r.rank / e.deg) AS c FROM e
+           JOIN r1 r ON r.doc_id = e.src GROUP BY dst),
+    r2 AS (SELECT d.doc_id, 0.15 / n.n + 0.85 * coalesce(c2.c, 0) AS rank
+           FROM documents d CROSS JOIN n LEFT JOIN c2 ON c2.dst = d.doc_id),
+    c3 AS (SELECT dst, sum(r.rank / e.deg) AS c FROM e
+           JOIN r2 r ON r.doc_id = e.src GROUP BY dst),
+    r3 AS (SELECT d.doc_id, 0.15 / n.n + 0.85 * coalesce(c3.c, 0) AS rank
+           FROM documents d CROSS JOIN n LEFT JOIN c3 ON c3.dst = d.doc_id)
+    SELECT r3.doc_id, round(r3.rank * n.n, 4) AS rank_norm
+    FROM r3 CROSS JOIN n
+    """,
+)
+def pagerank_links(spark, sf_dir):
+    """Fixed-iteration PageRank over the crawl link graph (Page et al.
+    1999; damping 0.85, 3 power iterations) — the link-centrality signal
+    web-corpus curation uses for source weighting (e.g. OPIC/harmonic
+    ranks in Common Crawl derivatives).  The edge list is synthesized
+    deterministically (each doc links to 3 modular targets, self-loops
+    dropped, duplicates merged — so out-degrees genuinely vary);
+    rank_norm is the final rank scaled by N (≈1.0 for an average page).
+
+    Scale: the edge list carries (src, deg, dst) with deg computed
+    map-side from the target array (no out-degree aggregation pass);
+    each iteration is one shuffle (contributions grouped by dst) plus a
+    left join back onto the node list — the textbook distributed
+    PageRank loop, k exchanges for k iterations, nothing quadratic.
+    The 1-row count frame broadcasts."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    nrow = docs.agg(F.count(F.lit(1)).alias("n"))
+    base = docs.crossJoin(F.broadcast(nrow))
+    tgts = F.filter(
+        F.array_distinct(
+            F.array(
+                (F.col("doc_id") * 7 + 3) % F.col("n"),
+                (F.col("doc_id") * 13 + 11) % F.col("n"),
+                (F.col("doc_id") + 1) % F.col("n"),
+            )
+        ),
+        lambda v: v != F.col("doc_id"),
+    )
+    edges = base.select(
+        F.col("doc_id").alias("src"),
+        F.size(tgts).alias("deg"),
+        F.explode(tgts).alias("dst"),
+    )
+    r = base.select("doc_id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
+    for _ in range(3):
+        contrib = (
+            edges.join(
+                r.select(F.col("doc_id").alias("src"), F.col("rank").alias("r_src")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r_src") / F.col("deg")).alias("c"))
+        )
+        r = (
+            base.join(contrib, base.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                "n",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return r.select(
+        "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("rank_norm")
     )
 
 

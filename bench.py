@@ -224,6 +224,7 @@ def main():
         "sequence_pack",
         "url_blocklist_filter",
         "pagerank_links",
+        "semdedup_embeddings",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -541,3 +541,77 @@ def connected_components(
             "path longer than the iteration bound — raise max_iterations"
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids,
+    threshold=0.95,
+    id_col="vec_id",
+    vec_col="embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication over an embedding column — cluster the embedding space
+    with a coarse codebook, compare pairs only WITHIN a cluster, connect
+    above-threshold pairs into components, and keep one canonical member
+    (min id) per component.
+
+    Stages (all existing green primitives):
+      1. ``ivf_assign`` — max-cosine centroid per vector, codebook inlined,
+         pure narrow projection (no shuffle, no crossJoin blowup);
+      2. within-cluster pair generation — equi-join on centroid_id with
+         ``id_a < id_b``, cosine >= threshold (rounded to 4dp so the
+         DuckDB oracle replays the comparison exactly);
+      3. ``connected_components`` over the surviving pairs;
+      4. keep = unclustered, or the cluster's min-id member.
+
+    Returns (id_col, sem_cluster, keep) for EVERY input vector.
+
+    Scale: the pair join is quadratic only within a cluster — that is
+    SemDeDup's own design point: the codebook size C grows with the
+    corpus (the paper uses ~50k clusters for LAION-scale data) so
+    per-cluster populations stay bounded; the join shuffles on
+    centroid_id, pairs above threshold are rare, and the component graph
+    is tiny.  The final labeling is a broadcast left join of the (small)
+    cluster-label frame back onto the vectors.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    normed = assigned.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "centroid_id",
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_norm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cos = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a._norm") * F.col("b._norm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(F.round(cos, 4) >= threshold)
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"), F.col(f"b.{id_col}").alias("vec_b")
+        )
+    )
+    clusters = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id")
+    )
+    return (
+        emb.select(id_col)
+        .join(F.broadcast(clusters), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            .cast("long")
+            .alias("sem_cluster"),
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )

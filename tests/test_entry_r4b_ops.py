@@ -143,3 +143,37 @@ class TestPageRank:
     def test_ranks_differentiate(self, spark):
         rows = entry.pagerank_links(spark, SF_DIR).collect()
         assert len({r.rank_norm for r in rows}) > 1
+
+
+class TestSemDedup:
+    def test_canonical_per_cluster_and_full_coverage(self, spark):
+        rows = entry.semdedup_embeddings(spark, SF_DIR).collect()
+        emb_n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+        assert len(rows) == emb_n
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.sem_cluster, []).append(r)
+        for cid, members in by_cluster.items():
+            kept = [m for m in members if m.keep]
+            assert len(kept) == 1
+            assert kept[0].vec_id == min(m.vec_id for m in members) == cid
+
+    def test_synthetic_exact_semantic_dups_collapse(self, spark):
+        from readability_spark.spark import textops
+
+        rows = [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to 0
+            (2, [0.99, 0.1, 0.0]),  # near 0
+            (3, [0.0, 0.0, 1.0]),   # orthogonal
+        ]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        cents = emb.filter("vec_id IN (0, 3)")
+        got = {
+            r.vec_id: (r.sem_cluster, r.keep)
+            for r in textops.semdedup(emb, cents, threshold=0.95).collect()
+        }
+        assert got[0] == (0, True)
+        assert got[1] == (0, False)
+        assert got[2] == (0, False)
+        assert got[3] == (3, True)

@@ -388,6 +388,18 @@ def main():
     if not re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", pr_plan):
         failures.append("pagerank_links: expected broadcast joins in the loop")
 
+    # 28. SemDeDup: codebook assignment is inlined (no join feeding the
+    # pair join's build side beyond the bucket equi-join); cluster labels
+    # broadcast back; nothing cartesian
+    sd = allq["semdedup_embeddings"](spark, SF_DIR)
+    sd.count()
+    sd_plan = plan_of(sd)
+    sections.append(("semdedup_broadcast_labels", sd_plan))
+    if not re.search(r"BroadcastHashJoin", sd_plan):
+        failures.append("semdedup_embeddings: expected broadcast of cluster labels")
+    if re.search(r"CartesianProduct", sd_plan):
+        failures.append("semdedup_embeddings: must not contain a cartesian product")
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
