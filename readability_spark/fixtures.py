@@ -493,6 +493,79 @@ def data_url_image(i, rng):
     )
 
 
+def table_style_attributes(i, rng):
+    """Reference 'table-style-attributes' analog: presentational attrs
+    (bgcolor/border/width/align/style) on layout tables around real
+    content; the pipeline must treat them as ordinary containers — the
+    attrs ride through the default path and the prep pass judges the
+    table by content, not decoration."""
+    return (
+        f"<html><body>"
+        f'<table bgcolor="#eeeeee" border="1" width="100%" align="center" '
+        f'style="margin:0"><tr><td>'
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 9)}, {_words(rng, 4)}.</p>"
+        f"</td></tr></table>"
+        f'<table border="0"><tr><td style="padding:2px">{_words(rng, 3)}</td>'
+        f"<td>{_words(rng, 2)}</td></tr></table>"
+        f"</body></html>"
+    )
+
+
+def keep_images(i, rng):
+    """Reference 'keep-images' analog: content images (img with src/alt
+    inside paragraphs, figure/figcaption) must survive removal stages and
+    their captions contribute to text_content."""
+    return (
+        f"<html><body><p>{_words(rng, 10)}.</p>"
+        f'<figure><img src="/img/photo-{i}.jpg" alt="photo {i % 5}">'
+        f"<figcaption>caption {_words(rng, 4)}</figcaption></figure>"
+        f'<p>{_words(rng, 7)} <img src="/img/inline-{i}.png" alt=""> '
+        f"{_words(rng, 6)}.</p></body></html>"
+    )
+
+
+def metadata_content_missing(i, rng):
+    """Reference 'metadata-content-missing' analog: meta tags with absent
+    or empty content attributes must not poison the fallback chain — the
+    DOM title/byline extraction has to take over."""
+    return (
+        f"<html><head><title>Fallback Title {i % 9} Report</title>"
+        f'<meta property="og:title">'
+        f'<meta name="description" content="">'
+        f'<meta name="author" content>'
+        f"</head><body>"
+        f'<p class="byline">By {_words(rng, 2)}</p>'
+        f"<p>{_words(rng, 13)}.</p><p>{_words(rng, 8)}.</p></body></html>"
+    )
+
+
+def mathjax_scripts(i, rng):
+    """Reference 'mathjax' analog: raw-text script bodies (math/tex) are
+    disallowed nodes and must vanish without their $-laden payload
+    leaking into text_content, while surrounding prose survives."""
+    return (
+        f"<html><body><p>{_words(rng, 9)}.</p>"
+        f'<script type="math/tex">\\frac{{a_{i % 4}}}{{b}} + \\sum x_i</script>'
+        f"<p>{_words(rng, 6)} equation {i % 3} {_words(rng, 5)}.</p>"
+        f'<style>.mjx {{ color: red }}</style>'
+        f"</body></html>"
+    )
+
+
+def ordered_lists(i, rng):
+    """Reference 'ol' / 'toc-missing' analog: ordered lists with a start
+    attribute amid content; list items contribute text and a link-only
+    table-of-contents list is judged by link density."""
+    items = "".join(f"<li>{_words(rng, 3)}</li>" for _ in range(4))
+    toc = "".join(f'<li><a href="#s{j}">{_words(rng, 2)}</a></li>' for j in range(5))
+    return (
+        f"<html><body><p>{_words(rng, 12)}.</p>"
+        f'<ol start="{2 + i % 3}">{items}</ol>'
+        f'<ul class="toc">{toc}</ul>'
+        f"<p>{_words(rng, 7)}.</p></body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -527,6 +600,11 @@ FAMILIES = [
     ("article_author_url", article_author_url),
     ("comment_in_script", comment_in_script),
     ("data_url_image", data_url_image),
+    ("table_style_attributes", table_style_attributes),
+    ("keep_images", keep_images),
+    ("metadata_content_missing", metadata_content_missing),
+    ("mathjax_scripts", mathjax_scripts),
+    ("ordered_lists", ordered_lists),
 ]
 
 
@@ -542,7 +620,7 @@ class FixtureRow:
 
 def build_rows(n=240):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
-    through the remaining families (each family >= 3 rows at n=240)."""
+    through the remaining families (each family >= 3 rows at n=260)."""
     rows = []
     others = FAMILIES[1:]
     other_idx = 0
