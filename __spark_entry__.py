@@ -2220,7 +2220,7 @@ _SEQ_LEN = 64
 def sequence_pack(spark, sf_dir):
     """Training-sequence packing — the last hop of an LLM data pipeline:
     concatenate documents end-to-end and cut fixed-length training
-    windows ({_SEQ_LEN} tokens), emitting for every (sequence, document)
+    windows (_SEQ_LEN = 64 tokens), emitting for every (sequence, document)
     overlap the slice map (seq_id, doc_id, offset-in-sequence, token
     range in the doc) a loader needs to materialize packed batches with
     document-boundary/attention-mask info.  Packing is PER SOURCE SHARD

@@ -618,7 +618,7 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=240):
+def build_rows(n=260):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
     through the remaining families (each family >= 3 rows at n=260)."""
     rows = []

@@ -28,8 +28,12 @@ def spark():
 
 class TestCcnetBuckets:
     def test_every_doc_bucketed_and_cutoffs_ordered(self, spark):
+        from pyspark.sql import functions as F
+
         rows = entry.ccnet_buckets(spark, SF_DIR).collect()
-        n_docs = entry._docs(spark, SF_DIR).count()
+        n_docs = (
+            entry._docs(spark, SF_DIR).filter(F.trim(F.col("text")) != "").count()
+        )
         assert len(rows) == n_docs
         assert {r.bucket for r in rows} <= {"head", "middle", "tail", "unsampled"}
         # within each language, every head nll <= every middle nll <=

@@ -8,7 +8,9 @@ Checks (SURVEY.md section 4.2 / task brief):
   in particular the fat `html`/`text` columns are absent when unused);
 - small-dim joins broadcast (BroadcastHashJoin, no SortMergeJoin);
 - resume anti-join broadcasts;
-- aggregations are partial+final hash aggs inside WholeStageCodegen.
+- aggregations are partial+final hash aggs inside WholeStageCodegen;
+- shuffle budgets: queries that claim "exactly one exchange" (or <=N) in
+  their docstrings are held to it by exchange counts on the plan.
 
 Writes the formatted plans to BENCH/PLANS.md for the record and exits
 non-zero on any failed assertion.
@@ -39,7 +41,25 @@ def main():
     sections = []
     failures = []
 
-    def check(name, df, must=(), must_not=()):
+    def check(
+        name,
+        df,
+        must=(),
+        must_not=(),
+        materialize=False,
+        exact_exchanges=None,
+        max_exchanges=None,
+    ):
+        """Record the (formatted) plan and assert regex/shuffle properties.
+
+        ``materialize`` runs the query first so AQE finalizes the adaptive
+        plan — required before asserting runtime decisions (broadcast
+        conversions).  ``exact_exchanges``/``max_exchanges`` bound the
+        number of shuffle ``Exchange`` nodes (BroadcastExchange does not
+        count) — the enforcement teeth behind every "one shuffle"/"<=N
+        exchanges" docstring claim."""
+        if materialize:
+            df.count()
         plan = plan_of(df)
         sections.append((name, plan))
         for pat in must:
@@ -48,6 +68,18 @@ def main():
         for pat in must_not:
             if re.search(pat, plan):
                 failures.append(f"{name}: must NOT contain /{pat}/")
+        if exact_exchanges is not None or max_exchanges is not None:
+            n = len(re.findall(r"\(\d+\) Exchange", plan))
+            if exact_exchanges is not None and n != exact_exchanges:
+                failures.append(
+                    f"{name}: expected exactly {exact_exchanges} shuffle "
+                    f"Exchange(s), got {n}"
+                )
+            elif max_exchanges is not None and n > max_exchanges:
+                failures.append(
+                    f"{name}: expected <={max_exchanges} shuffle "
+                    f"Exchange(s), got {n}"
+                )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
@@ -132,16 +164,16 @@ def main():
     # 7. winnowing fingerprints: map-side array exprs feed the explode
     # directly from the scan; the final distinct is the ONLY exchange
     # (partial+final hash agg around it), no join anywhere
-    winnow_plan = plan_of(winnow_fingerprints(docs, k=5, w=4))
-    sections.append(("winnow_map_only_until_distinct", winnow_plan))
-    if not re.search(r"Generate[\s\S]*Scan parquet", winnow_plan):
-        failures.append("winnow: expected Generate directly over the scan")
-    if len(re.findall(r"\(\d+\) Exchange", winnow_plan)) != 1:
-        failures.append("winnow: expected exactly one Exchange (the distinct)")
-    if not re.search(r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate", winnow_plan):
-        failures.append("winnow: expected partial+final hash agg around the exchange")
-    if "Join" in winnow_plan:
-        failures.append("winnow: must not contain a join")
+    check(
+        "winnow_map_only_until_distinct",
+        winnow_fingerprints(docs, k=5, w=4),
+        must=[
+            r"Generate[\s\S]*Scan parquet",
+            r"HashAggregate[\s\S]*Exchange[\s\S]*HashAggregate",
+        ],
+        must_not=[r"Join"],
+        exact_exchanges=1,
+    )
 
     # 8. decontamination probe: benchmark hash set broadcasts (map-only
     # probe of the corpus side — no sort-merge shuffle of the candidates)
@@ -175,14 +207,13 @@ def main():
     # 11. paragraph dedup: the chunk/explode is narrow; both window
     # functions share ONE hash partitioning on para_hash — exactly one
     # Exchange in the whole plan, no join
-    pd_plan = plan_of(allq["paragraph_dedup"](spark, SF_DIR))
-    sections.append(("paragraph_dedup_one_exchange", pd_plan))
-    if len(re.findall(r"\(\d+\) Exchange", pd_plan)) != 1:
-        failures.append("paragraph_dedup: expected exactly one Exchange")
-    if "Join" in pd_plan:
-        failures.append("paragraph_dedup: must not contain a join")
-    if not re.search(r"Generate[\s\S]*Scan parquet", pd_plan):
-        failures.append("paragraph_dedup: expected the explode directly over the scan")
+    check(
+        "paragraph_dedup_one_exchange",
+        allq["paragraph_dedup"](spark, SF_DIR),
+        must=[r"Generate[\s\S]*Scan parquet"],
+        must_not=[r"Join"],
+        exact_exchanges=1,
+    )
 
     # 12. PII scrub: pure narrow projection (regexp built-ins), nothing else
     check(
@@ -203,12 +234,12 @@ def main():
     # 14. curated_corpus: the WHOLE end-to-end curation pipeline costs
     # exactly one Exchange (the md5(text) canonical window) and has NO
     # join — the gate/canonical filter/scrub are narrow post-window ops
-    cc_plan = plan_of(allq["curated_corpus"](spark, SF_DIR))
-    sections.append(("curated_corpus_one_exchange", cc_plan))
-    if len(re.findall(r"\(\d+\) Exchange", cc_plan)) != 1:
-        failures.append("curated_corpus: expected exactly one Exchange")
-    if "Join" in cc_plan:
-        failures.append("curated_corpus: must not contain a join")
+    check(
+        "curated_corpus_one_exchange",
+        allq["curated_corpus"](spark, SF_DIR),
+        must_not=[r"Join"],
+        exact_exchanges=1,
+    )
 
     # 15. dedup_clusters edge stage: the document-frequency skew guard
     # (left-anti against hot hashes) must be present in the plan, and the
@@ -223,41 +254,30 @@ def main():
     )
 
     # 16. repeated_ngram_spans: the join-back of the small repeated-hash
-    # set must broadcast (AQE decides at runtime, so assert on the FINAL
-    # adaptive plan after execution) — the corpus-sized gram stream is
-    # never sort-merge shuffled for the join
-    rns = allq["repeated_ngram_spans"](spark, SF_DIR)
-    rns.count()  # materialize so AQE finalizes the plan
-    rns_plan = plan_of(rns)
-    sections.append(("repeated_ngram_spans_broadcast_joinback", rns_plan))
-    if not re.search(r"BroadcastHashJoin", rns_plan):
-        failures.append("repeated_ngram_spans: expected AQE broadcast join-back")
-    if re.search(r"SortMergeJoin", rns_plan):
-        failures.append("repeated_ngram_spans: must not sort-merge the gram stream")
-    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rns_plan))
-    if n_shuffles > 2:
-        failures.append(
-            f"repeated_ngram_spans: expected <=2 shuffle Exchanges "
-            f"(two-phase countDistinct), got {n_shuffles}"
-        )
+    # set must broadcast (AQE decides at runtime, hence materialize) —
+    # the corpus-sized gram stream is never sort-merge shuffled; <=2
+    # shuffles = the two-phase countDistinct
+    check(
+        "repeated_ngram_spans_broadcast_joinback",
+        allq["repeated_ngram_spans"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+        materialize=True,
+        max_exchanges=2,
+    )
 
     # 17. repeated_span_ranges: the gaps-and-islands window (doc_id) and
     # the island groupBy (doc_id, island) must SHARE one exchange — hash
     # partitioning on doc_id satisfies the agg's clustered distribution on
     # (doc_id, island), so the span stream shuffles exactly once on top of
     # the repeated_ngram_spans plan (<=3 shuffle Exchanges total)
-    rsr = allq["repeated_span_ranges"](spark, SF_DIR)
-    rsr.count()
-    rsr_plan = plan_of(rsr)
-    sections.append(("repeated_span_ranges_shared_exchange", rsr_plan))
-    if re.search(r"SortMergeJoin", rsr_plan):
-        failures.append("repeated_span_ranges: must not sort-merge join")
-    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rsr_plan))
-    if n_shuffles > 3:
-        failures.append(
-            f"repeated_span_ranges: expected <=3 shuffle Exchanges "
-            f"(countDistinct x2 + one shared doc_id window/agg), got {n_shuffles}"
-        )
+    check(
+        "repeated_span_ranges_shared_exchange",
+        allq["repeated_span_ranges"](spark, SF_DIR),
+        must_not=[r"SortMergeJoin"],
+        materialize=True,
+        max_exchanges=3,
+    )
 
     # 18. Gopher line-level rules: pure narrow projection over array/string
     # built-ins — the synthesized line structure never leaves the row
@@ -278,68 +298,50 @@ def main():
     )
 
     # 20. CCNet perplexity filter: the vocab (result of the token agg,
-    # vocab-sized << corpus) must broadcast back onto the token stream —
-    # AQE decides at runtime, so materialize first; the corpus-sized token
-    # stream is never sort-merge shuffled for the scoring join
-    ppl = allq["perplexity_filter"](spark, SF_DIR)
-    ppl.count()
-    ppl_plan = plan_of(ppl)
-    sections.append(("perplexity_filter_broadcast_vocab", ppl_plan))
-    if not re.search(r"BroadcastHashJoin", ppl_plan):
-        failures.append("perplexity_filter: expected AQE broadcast of the vocab")
-    if re.search(r"SortMergeJoin", ppl_plan):
-        failures.append("perplexity_filter: must not sort-merge the token stream")
+    # vocab-sized << corpus) must broadcast back onto the token stream;
+    # the corpus-sized token stream is never sort-merge shuffled
+    check(
+        "perplexity_filter_broadcast_vocab",
+        allq["perplexity_filter"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+        materialize=True,
+    )
 
-    # 21. DSIR importance weights: both n-gram models and the weight table
-    # are 64-row frames — every join onto the corpus-sized feature stream
-    # must broadcast; no cartesian/SMJ anywhere
-    dsir = allq["dsir_importance"](spark, SF_DIR)
-    dsir.count()
-    dsir_plan = plan_of(dsir)
-    sections.append(("dsir_importance_broadcast_models", dsir_plan))
-    if not re.search(r"BroadcastHashJoin", dsir_plan):
-        failures.append("dsir_importance: expected broadcast of the 64-row weight table")
-    if re.search(r"SortMergeJoin", dsir_plan):
-        failures.append("dsir_importance: must not sort-merge the feature stream")
-    if re.search(r"CartesianProduct", dsir_plan):
-        failures.append("dsir_importance: must not contain a cartesian product")
+    # 21. DSIR importance weights: the combined model/weight table is a
+    # 64-row frame — every join onto the corpus-sized feature stream must
+    # broadcast; no cartesian/SMJ anywhere
+    check(
+        "dsir_importance_broadcast_models",
+        allq["dsir_importance"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+        materialize=True,
+    )
 
     # 22. winnowing-sampled exact-substring dedup: same plan contract as
     # repeated_ngram_spans — only sampled hash triples shuffle (two-phase
     # countDistinct = <=2 Exchanges) and the repeated-hash join-back
     # broadcasts on the AQE-final plan
-    rnw = allq["repeated_ngram_spans_winnowed"](spark, SF_DIR)
-    rnw.count()
-    rnw_plan = plan_of(rnw)
-    sections.append(("repeated_ngram_spans_winnowed_broadcast_joinback", rnw_plan))
-    if not re.search(r"BroadcastHashJoin", rnw_plan):
-        failures.append("repeated_ngram_spans_winnowed: expected AQE broadcast join-back")
-    if re.search(r"SortMergeJoin", rnw_plan):
-        failures.append(
-            "repeated_ngram_spans_winnowed: must not sort-merge the gram stream"
-        )
-    n_shuffles = len(re.findall(r"\(\d+\) Exchange", rnw_plan))
-    if n_shuffles > 2:
-        failures.append(
-            f"repeated_ngram_spans_winnowed: expected <=2 shuffle Exchanges, "
-            f"got {n_shuffles}"
-        )
+    check(
+        "repeated_ngram_spans_winnowed_broadcast_joinback",
+        allq["repeated_ngram_spans_winnowed"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+        materialize=True,
+        max_exchanges=2,
+    )
 
     # 23. near-dup curation flagship: the final survivors join is against
     # the (tiny) cluster-label frame and must broadcast; nothing in the
     # composed plan may go cartesian/nested-loop
-    ccn = allq["curated_corpus_neardup"](spark, SF_DIR)
-    ccn.count()
-    ccn_plan = plan_of(ccn)
-    sections.append(("curated_corpus_neardup_broadcast_labels", ccn_plan))
-    if not re.search(r"BroadcastHashJoin", ccn_plan):
-        failures.append(
-            "curated_corpus_neardup: expected broadcast join of cluster labels"
-        )
-    if re.search(r"SortMergeJoin", ccn_plan):
-        failures.append("curated_corpus_neardup: must not sort-merge the corpus side")
-    if re.search(r"CartesianProduct", ccn_plan):
-        failures.append("curated_corpus_neardup: must not contain a cartesian product")
+    check(
+        "curated_corpus_neardup_broadcast_labels",
+        allq["curated_corpus_neardup"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+        materialize=True,
+    )
 
     # 24. sequence packing: exactly ONE exchange (the per-source-shard
     # running-sum window); the boundary explode stays narrow
@@ -348,57 +350,52 @@ def main():
         allq["sequence_pack"](spark, SF_DIR),
         must=[r"Window", r"Generate"],
         must_not=[r"SortMergeJoin", r"CartesianProduct"],
+        exact_exchanges=1,
     )
-    sp_plan = sections[-1][1]
-    n_ex = len(re.findall(r"\(\d+\) Exchange", sp_plan))
-    if n_ex != 1:
-        failures.append(f"sequence_pack: expected exactly 1 Exchange, got {n_ex}")
 
     # 25. URL blocklist: the rules frame broadcasts (nested-loop is the
     # expected join for the OR-of-kinds predicate) and the corpus side
     # never shuffles
-    bl = allq["url_blocklist_filter"](spark, SF_DIR)
-    bl_plan = plan_of(bl)
-    sections.append(("url_blocklist_broadcast_rules", bl_plan))
-    if not re.search(r"BroadcastNestedLoopJoin.*LeftAnti|LeftAnti.*BroadcastNestedLoopJoin",
-                     bl_plan, re.S):
-        failures.append("url_blocklist_filter: expected broadcast left-anti of rules")
-    if re.search(r"\(\d+\) Exchange", bl_plan):
-        failures.append("url_blocklist_filter: the corpus side must not shuffle")
+    check(
+        "url_blocklist_broadcast_rules",
+        allq["url_blocklist_filter"](spark, SF_DIR),
+        must=[
+            r"BroadcastNestedLoopJoin[\s\S]*LeftAnti"
+            r"|LeftAnti[\s\S]*BroadcastNestedLoopJoin"
+        ],
+        exact_exchanges=0,
+    )
 
     # 26. ccnet bucketing: the per-lang cutoff table broadcasts back onto
     # the scored stream; no corpus-sized sort-merge join
-    ccb = allq["ccnet_buckets"](spark, SF_DIR)
-    ccb.count()
-    ccb_plan = plan_of(ccb)
-    sections.append(("ccnet_buckets_broadcast_cutoffs", ccb_plan))
-    if not re.search(r"BroadcastHashJoin", ccb_plan):
-        failures.append("ccnet_buckets: expected broadcast of the cutoff table")
-    if re.search(r"CartesianProduct", ccb_plan):
-        failures.append("ccnet_buckets: must not contain a cartesian product")
+    check(
+        "ccnet_buckets_broadcast_cutoffs",
+        allq["ccnet_buckets"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
 
     # 27. pagerank: iterations shuffle contribution tuples only — the
     # node-list join-back must broadcast under AQE, never cartesian
-    pr = allq["pagerank_links"](spark, SF_DIR)
-    pr.count()
-    pr_plan = plan_of(pr)
-    sections.append(("pagerank_links_broadcast_iterations", pr_plan))
-    if re.search(r"CartesianProduct", pr_plan):
-        failures.append("pagerank_links: must not contain a cartesian product")
-    if not re.search(r"BroadcastHashJoin|BroadcastNestedLoopJoin", pr_plan):
-        failures.append("pagerank_links: expected broadcast joins in the loop")
+    check(
+        "pagerank_links_broadcast_iterations",
+        allq["pagerank_links"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin|BroadcastNestedLoopJoin"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
 
     # 28. SemDeDup: codebook assignment is inlined (no join feeding the
     # pair join's build side beyond the bucket equi-join); cluster labels
     # broadcast back; nothing cartesian
-    sd = allq["semdedup_embeddings"](spark, SF_DIR)
-    sd.count()
-    sd_plan = plan_of(sd)
-    sections.append(("semdedup_broadcast_labels", sd_plan))
-    if not re.search(r"BroadcastHashJoin", sd_plan):
-        failures.append("semdedup_embeddings: expected broadcast of cluster labels")
-    if re.search(r"CartesianProduct", sd_plan):
-        failures.append("semdedup_embeddings: must not contain a cartesian product")
+    check(
+        "semdedup_broadcast_labels",
+        allq["semdedup_embeddings"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
 
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
