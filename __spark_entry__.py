@@ -2357,6 +2357,152 @@ def url_blocklist_filter(spark, sf_dir):
     )
 
 
+#: Gopher repetition thresholds (Rae et al. 2021 Table A1): max fraction
+#: of characters in the most frequent n-gram (n=2,3,4) and in duplicated
+#: n-grams (n=5,10)
+_GOPHER_REP = {"top": {2: 0.20, 3: 0.18, 4: 0.16}, "dup": {5: 0.15, 10: 0.10}}
+
+
+def _gr_grams_sql(n):
+    return (
+        f"list_transform(generate_series(1, len(arr) - {n - 1}),"
+        f" i -> array_to_string(list_slice(arr, i, i + {n - 1}), ' '))"
+    )
+
+
+@_q(
+    "gopher_repetition_rules",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr,
+             len(trim(text)) AS nchars
+      FROM documents WHERE trim(text) != ''
+    ),
+    t AS (
+      SELECT doc_id, nchars, lane.n AS n,
+             unnest(CASE lane.n WHEN 2 THEN _g2 WHEN 3 THEN _g3
+                    WHEN 4 THEN _g4 WHEN 5 THEN _g5 ELSE _g10 END) AS gram
+      FROM (
+        SELECT doc_id, nchars,
+               {_gr_grams_sql(2)} AS _g2, {_gr_grams_sql(3)} AS _g3,
+               {_gr_grams_sql(4)} AS _g4, {_gr_grams_sql(5)} AS _g5,
+               {_gr_grams_sql(10)} AS _g10
+        FROM d WHERE len(arr) >= 10
+      ), (VALUES (2), (3), (4), (5), (10)) AS lane(n)
+    ),
+    g AS (
+      SELECT doc_id, n, gram, max(nchars) AS nchars,
+             count(*) AS cnt, len(gram) AS glen
+      FROM t GROUP BY doc_id, n, gram
+    ),
+    per_n AS (
+      SELECT doc_id, n, max(nchars) AS nchars,
+             max(cnt * glen) AS top_chars,
+             coalesce(sum(cnt * glen) FILTER (cnt > 1), 0) AS dup_chars
+      FROM g GROUP BY doc_id, n
+    )
+    SELECT doc_id,
+           round(max(CASE WHEN n = 2 THEN top_chars END) * 1.0
+                 / max(nchars), 4) AS top2_frac,
+           round(max(CASE WHEN n = 3 THEN top_chars END) * 1.0
+                 / max(nchars), 4) AS top3_frac,
+           round(max(CASE WHEN n = 4 THEN top_chars END) * 1.0
+                 / max(nchars), 4) AS top4_frac,
+           round(max(CASE WHEN n = 5 THEN dup_chars END) * 1.0
+                 / max(nchars), 4) AS dup5_frac,
+           round(max(CASE WHEN n = 10 THEN dup_chars END) * 1.0
+                 / max(nchars), 4) AS dup10_frac,
+           (round(max(CASE WHEN n = 2 THEN top_chars END) * 1.0 / max(nchars), 4)
+              <= {_GOPHER_REP["top"][2]}
+            AND round(max(CASE WHEN n = 3 THEN top_chars END) * 1.0 / max(nchars), 4)
+              <= {_GOPHER_REP["top"][3]}
+            AND round(max(CASE WHEN n = 4 THEN top_chars END) * 1.0 / max(nchars), 4)
+              <= {_GOPHER_REP["top"][4]}
+            AND round(max(CASE WHEN n = 5 THEN dup_chars END) * 1.0 / max(nchars), 4)
+              <= {_GOPHER_REP["dup"][5]}
+            AND round(max(CASE WHEN n = 10 THEN dup_chars END) * 1.0 / max(nchars), 4)
+              <= {_GOPHER_REP["dup"][10]}) AS keep
+    FROM per_n GROUP BY doc_id
+    """,
+)
+def gopher_repetition_rules(spark, sf_dir):
+    """Gopher/MassiveText repetition rules (Rae et al. 2021 Table A1 —
+    the remaining published signal family): fraction of characters in
+    the MOST FREQUENT n-gram (n=2,3,4; reject above 0.20/0.18/0.16) and
+    in DUPLICATED n-grams (n=5,10; reject above 0.15/0.10).  Character
+    fractions are computed as occurrences x gram-string-length over the
+    document's character count (the standard reproduction of the
+    published definition; overlaps are counted per occurrence).
+
+    Scale: all five lanes ride ONE explode of a combined (n, gram)
+    array; the per-(doc, n, gram) count, the per-(doc, n) reduction and
+    the final per-doc pivot are three map-side-combined linear
+    aggregations — no O(len^2) per-row expression, no join, and the
+    gram text leaves the row only keyed by (doc_id, n, gram) for the
+    count.  Unlike repetition_filter's map-only distinct ratio, the
+    top-gram mode genuinely needs the count agg; three bounded linear
+    shuffles is the honest 100-TB plan."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+
+    def grams(n):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (n - 1)),
+            lambda i: F.struct(
+                F.lit(n).alias("n"), F.array_join(F.slice(arr, i, n), " ").alias("gram")
+            ),
+        )
+
+    lanes = F.flatten(F.array(*[grams(n) for n in (2, 3, 4, 5, 10)]))
+    t = (
+        docs.filter(F.size(arr) >= 10)
+        .select(
+            "doc_id",
+            F.length(F.trim(F.col("text"))).alias("nchars"),
+            F.explode(lanes).alias("s"),
+        )
+        .select("doc_id", "nchars", "s.n", "s.gram")
+    )
+    g = t.groupBy("doc_id", "n", "gram").agg(
+        F.max("nchars").alias("nchars"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    glen = F.length(F.col("gram"))
+    per_n = g.groupBy("doc_id", "n").agg(
+        F.max("nchars").alias("nchars"),
+        F.max(F.col("cnt") * glen).alias("top_chars"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * glen)), F.lit(0)
+        ).alias("dup_chars"),
+    )
+
+    def lane(n, col):
+        return F.round(
+            F.max(F.when(F.col("n") == n, F.col(col)))
+            / F.max("nchars").cast("double"),
+            4,
+        )
+
+    fracs = {
+        "top2_frac": lane(2, "top_chars"),
+        "top3_frac": lane(3, "top_chars"),
+        "top4_frac": lane(4, "top_chars"),
+        "dup5_frac": lane(5, "dup_chars"),
+        "dup10_frac": lane(10, "dup_chars"),
+    }
+    keep = (
+        (fracs["top2_frac"] <= _GOPHER_REP["top"][2])
+        & (fracs["top3_frac"] <= _GOPHER_REP["top"][3])
+        & (fracs["top4_frac"] <= _GOPHER_REP["top"][4])
+        & (fracs["dup5_frac"] <= _GOPHER_REP["dup"][5])
+        & (fracs["dup10_frac"] <= _GOPHER_REP["dup"][10])
+    )
+    return per_n.groupBy("doc_id").agg(
+        *[expr.alias(name) for name, expr in fracs.items()],
+        keep.alias("keep"),
+    )
+
+
 @_q(
     "semdedup_embeddings",
     """

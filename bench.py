@@ -224,6 +224,7 @@ def main():
         "url_blocklist_filter",
         "pagerank_links",
         "semdedup_embeddings",
+        "gopher_repetition_rules",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

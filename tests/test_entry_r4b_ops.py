@@ -181,3 +181,43 @@ class TestSemDedup:
         assert got[1] == (0, False)
         assert got[2] == (0, False)
         assert got[3] == (3, True)
+
+
+class TestGopherRepetition:
+    def test_fracs_bounded_and_keep_consistent(self, spark):
+        rows = entry.gopher_repetition_rules(spark, SF_DIR).collect()
+        assert rows
+        th = entry._GOPHER_REP
+        for r in rows:
+            for c in ("top2_frac", "top3_frac", "top4_frac",
+                      "dup5_frac", "dup10_frac"):
+                assert 0.0 <= getattr(r, c) <= 1.0, (r.doc_id, c)
+            # longer top-grams cover at least as many chars per occurrence
+            # but occur no more often; the mode fraction is not monotone,
+            # only the keep recomputation must match exactly
+            want = (
+                r.top2_frac <= th["top"][2]
+                and r.top3_frac <= th["top"][3]
+                and r.top4_frac <= th["top"][4]
+                and r.dup5_frac <= th["dup"][5]
+                and r.dup10_frac <= th["dup"][10]
+            )
+            assert r.keep == want, r.doc_id
+
+    def test_planted_repetition_rejected(self, spark):
+        from readability_spark.spark import textops  # noqa: F401  (session warm)
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rep = ("spam ham " * 40).strip()
+        docs = spark.createDataFrame(
+            [(0, base + " " + base, "en", "s0"), (1, rep, "en", "s0")],
+            "doc_id long, text string, lang string, source string",
+        )
+        import unittest.mock as mock
+
+        with mock.patch.object(entry, "_docs", lambda s, d: docs):
+            got = {r.doc_id: r for r in
+                   entry.gopher_repetition_rules(spark, SF_DIR).collect()}
+        assert got[1].keep is False          # 'spam ham' dominates every lane
+        assert got[1].top2_frac > 0.4
+        assert got[0].dup10_frac > 0.0       # the duplicated sentence repeats

@@ -386,6 +386,16 @@ def main():
         materialize=True,
     )
 
+    # 28b. Gopher repetition rules: one explode feeds all five n-gram
+    # lanes; three bounded linear aggregations, no join anywhere
+    check(
+        "gopher_repetition_three_aggs",
+        allq["gopher_repetition_rules"](spark, SF_DIR),
+        must=[r"Generate"],
+        must_not=[r"Join"],
+        max_exchanges=3,
+    )
+
     # 28. SemDeDup: codebook assignment is inlined (no join feeding the
     # pair join's build side beyond the bucket equi-join); cluster labels
     # broadcast back; nothing cartesian
