@@ -249,16 +249,23 @@ def main():
     for lo, hi, factor in pairs:
         pages_path, n_docs = materialize_input(sf_dir, factor, n_paragraphs)
         print(f"pair {lo}->{hi}: input {pages_path} ({n_docs} pages)", flush=True)
-        ceiling = hardware_ceiling(lo, hi)
-        print(f"  hardware ceiling: {json.dumps(ceiling)}", flush=True)
         repeats = int(os.environ.get("REPEATS", "3"))
         # The sandbox VM has strong noisy-neighbor variance (identical
         # configs measured 56s and 121s an hour apart).  Efficiency is a
         # RATIO, so each rep runs BOTH levels back-to-back inside one noise
         # window and computes its own ratio; the best rep (least
         # contaminated) is reported, with every rep kept in the JSON.
+        # The hardware ceiling is probed PER REP, inside the same noise
+        # window as that rep's two levels, and each rep normalizes against
+        # its own probe — a pair-global probe taken minutes earlier can
+        # sample a different host epoch than the reps it normalizes (one
+        # recorded run measured a physically impossible ceiling > 1 that
+        # way: the probe's lo level hit a noise burst the Spark reps
+        # didn't).
         reps = []
         for rep in range(repeats):
+            ceiling_rep = hardware_ceiling(lo, hi)
+            print(f"  rep{rep} hardware ceiling: {json.dumps(ceiling_rep)}", flush=True)
             pair_run = {}
             for cores in (lo, hi):
                 r = run_level(cores, pages_path, f"p{lo}x{hi}r{rep}")
@@ -267,9 +274,17 @@ def main():
             rep_eff = pair_run[hi]["docs_per_sec"] / (
                 (hi / lo) * pair_run[lo]["docs_per_sec"]
             )
-            reps.append((rep_eff, pair_run))
-            print(f"  rep{rep} efficiency: {rep_eff:.3f}", flush=True)
-        eff, levels = max(reps, key=lambda t: t[0])
+            reps.append((rep_eff, pair_run, ceiling_rep))
+            print(
+                f"  rep{rep} efficiency: {rep_eff:.3f} "
+                f"(normalized {rep_eff / ceiling_rep['ceiling']:.3f})",
+                flush=True,
+            )
+        # best rep by its own-window normalized efficiency; ties go to the
+        # higher measured value
+        eff, levels, ceiling = max(
+            reps, key=lambda t: (t[0] / t[2]["ceiling"], t[0])
+        )
         for cores in (lo, hi):
             levels[cores]["partition_metrics"] = partition_metrics(
                 levels[cores]["lineage_path"]
@@ -284,9 +299,11 @@ def main():
                 "all_reps": [
                     {
                         "efficiency": round(e, 3),
+                        "ceiling": c_rep["ceiling"],
+                        "normalized": round(e / c_rep["ceiling"], 3),
                         "walls": {str(c): pr[c]["wall_secs"] for c in (lo, hi)},
                     }
-                    for e, pr in reps
+                    for e, pr, c_rep in reps
                 ],
                 "hardware": ceiling,
                 "throughput_n": levels[lo]["docs_per_sec"],
