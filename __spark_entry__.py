@@ -374,6 +374,72 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+@_q(
+    "incremental_dedup_bloom",
+    """
+    WITH corpus AS (SELECT md5(text) AS text_hash FROM documents),
+    increment AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text
+                  ELSE text || ' update run2' END AS text
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, md5(text) AS text_hash
+    FROM increment
+    WHERE md5(text) NOT IN (SELECT text_hash FROM corpus)
+    """,
+)
+def incremental_dedup_bloom(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup — the recurring production job:
+    a NEW crawl increment arrives and only documents not already in the
+    existing corpus may enter.  The increment is synthesized from the
+    corpus itself (every doc_id%2==0 page "re-crawled"; %4==0 pages are
+    byte-identical re-fetches that must dedup away, the rest changed and
+    must pass), so the expected output is closed-form for the oracle.
+
+    The at-scale shape is a Bloom-filter prefilter in front of the exact
+    anti-join (the pattern behind Spark's own runtime row-group filters,
+    which PySpark doesn't expose as a SQL function — textops.bloom_bitmap
+    builds one from DataFrame built-ins): the corpus's content hashes fold
+    into a fixed-size bitmap (ONE bounded-output aggregate over the corpus;
+    shuffle volume = bitmap words, not rows), the increment tests
+    membership MAP-SIDE against the inlined bitmap, bloom-negative rows
+    are definitively new (no false negatives) and skip the join entirely,
+    and only the bloom-positive sliver — true dups + ~FPP false positives
+    — reaches the exact left-anti verify join.  At 10^12 corpus docs the
+    anti-join's probe side shrinks from the full increment to roughly its
+    duplicate fraction, and correctness never depends on the FPP: the
+    result is exactly the anti-join's.
+
+    The result (new-document set) is the union of bloom-negatives and
+    verified positives — identical to a plain anti-join, which is the
+    oracle."""
+    from readability_spark.spark.textops import bloom_bitmap, bloom_might_contain
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(F.md5(F.col("text")).alias("text_hash"))
+    bitmap, _ = bloom_bitmap(corpus, "text_hash", num_bits=1 << 16, num_hashes=4)
+    increment = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 4 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" update run2"))
+            )
+        ).alias("text_hash"),
+    )
+    flagged = increment.withColumn(
+        "maybe_dup", bloom_might_contain(bitmap, F.col("text_hash"))
+    )
+    definitely_new = flagged.filter(~F.col("maybe_dup")).select("doc_id", "text_hash")
+    verified_new = (
+        flagged.filter(F.col("maybe_dup"))
+        .select("doc_id", "text_hash")
+        .join(corpus, "text_hash", "left_anti")
+        .select("doc_id", "text_hash")
+    )
+    return definitely_new.unionByName(verified_new)
+
+
 #: shared boilerplate appended to every document's paragraph list — the
 #: realistic paragraph-dedup target (site chrome repeated across a crawl)
 _PD_BOILER = "all rights reserved contact support"
@@ -1576,6 +1642,163 @@ def quality_score(spark, sf_dir):
     )
 
 
+#: deterministic typography/whitespace noise planted around each document
+#: (the synthetic corpus is already clean, so the normalizer needs real
+#: mess to prove itself on): tab + curly quotes + NBSP + em dash + newline
+#: + ellipsis + trailing runs.  Shared verbatim by both engines.
+_TN_PRE = "\t “"
+_TN_POST = "”   — \n fin…  "
+
+#: unicode -> ASCII normalization pairs (ftfy-lite subset: quotes, dashes,
+#: ellipsis, NBSP), applied before whitespace collapse
+_TN_PAIRS = [
+    (" ", " "),
+    ("“", '"'),
+    ("”", '"'),
+    ("‘", "'"),
+    ("’", "'"),
+    ("—", "-"),
+    ("–", "-"),
+    ("…", "..."),
+]
+
+#: control chars + space runs -> single space (raw string: the regex
+#: engines, not Python, interpret the \x escapes — identical in Java
+#: regex and RE2)
+_TN_WS_RE = r"[\x00-\x1f ]+"
+
+
+def _tn_sql(expr):
+    """DuckDB replay of the normalization chain over ``expr``."""
+    sq = lambda s: s.replace("'", "''")  # noqa: E731
+    for a, b in _TN_PAIRS:
+        expr = f"replace({expr}, '{sq(a)}', '{sq(b)}')"
+    return f"trim(regexp_replace({expr}, '{_TN_WS_RE}', ' ', 'g'))"
+
+
+@_q(
+    "text_normalize",
+    f"""
+    WITH d AS (
+      SELECT doc_id, '{_TN_PRE}' || text || '{_TN_POST}' AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           {_tn_sql("raw")} AS text_norm,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length({_tn_sql("raw")}) AS BIGINT) AS norm_len
+    FROM d
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Text normalization — the cleanup stage every web-text pipeline runs
+    before tokenization/dedup (the ftfy/CCNet-preprocess shape): unicode
+    typography folded to ASCII (curly quotes, en/em dashes, ellipsis,
+    NBSP), control characters stripped, whitespace runs collapsed to a
+    single space, ends trimmed.  Run BEFORE exact/near dedup so that
+    byte-level noise (a stray NBSP, \\r\\n vs \\n) can't split otherwise
+    identical documents into different hash buckets.  Noise is planted
+    deterministically around the clean synthetic corpus so the operator
+    has real work whose inverse is closed-form for the oracle.
+
+    Scale: a chain of built-in replace/regexp_replace/trim expressions —
+    pure narrow projection, zero exchanges, whole-stage codegen
+    (plan-gated: PLANS.md §text_normalize_map_only)."""
+    raw = F.concat(F.lit(_TN_PRE), F.col("text"), F.lit(_TN_POST))
+    norm = raw
+    for a, b in _TN_PAIRS:
+        norm = F.replace(norm, F.lit(a), F.lit(b))
+    norm = F.trim(F.regexp_replace(norm, _TN_WS_RE, " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        norm.alias("text_norm"),
+        F.length(raw).cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+    )
+
+
+#: hex digit -> value lookup string for portable md5-prefix bucketing
+#: (shared by quality_classifier_hashed and dsir_importance oracles)
+_DSIR_HEX = "0123456789abcdef"
+
+#: fasttext-style hashed linear model: 64 weight buckets, weights are
+#: EXACT multiples of 1/64 so double-precision sums are exact (binary
+#: fractions, magnitude << 2^53) and therefore order-independent — the
+#: property that lets Spark's left-fold F.aggregate and DuckDB's list_sum
+#: hash-match bit-for-bit.  37 is coprime to 64, so the weight table is a
+#: permutation of (-32..31)/64 — a deterministic stand-in for trained
+#: weights; a real deployment swaps this literal for the trained vector.
+_QC_WEIGHTS = [((b * 37 + 11) % 64 - 32) / 64 for b in range(64)]
+_QC_BIAS = 1 / 64  # exact in double on both engines
+_QC_W_SQL = "[" + ", ".join(repr(w) for w in _QC_WEIGHTS) + "]"
+
+
+@_q(
+    "quality_classifier_hashed",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    s AS (
+      SELECT doc_id, len(arr) AS n_tokens,
+             list_sum(list_transform(arr, t -> ({_QC_W_SQL})[
+               ((strpos('{_DSIR_HEX}', substr(md5(t), 1, 1)) - 1) * 16
+                + (strpos('{_DSIR_HEX}', substr(md5(t), 2, 1)) - 1)) % 64 + 1
+             ])) AS sw
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sw / n_tokens + {_QC_BIAS!r}, 4) AS quality_logit,
+           (sw / n_tokens + {_QC_BIAS!r}) >= 0 AS keep
+    FROM s
+    """,
+)
+def quality_classifier_hashed(spark, sf_dir):
+    """Model-based quality classification — the fasttext-shaped filter tier
+    used by LLaMA/RefinedWeb-style pipelines above the heuristic rules
+    (Gopher/C4): a linear classifier over HASHED bag-of-words features
+    (the fasttext hashing-trick architecture: token -> md5 -> 64-bucket
+    feature id -> weight lookup), per-document logit = mean feature
+    weight + bias, keep = logit >= 0.  Weights here are a deterministic
+    permutation literal (this container trains nothing); the production
+    path swaps in the trained vector — same plan, same cost.
+
+    Scale: pure narrow projection — the weight table rides the plan as a
+    64-double array literal (the IVF-codebook inlining pattern), the
+    per-token lookup folds inside one F.aggregate over the token array,
+    and there is NO explode, NO join, NO shuffle of any kind (plan-gated:
+    PLANS.md §quality_classifier_map_only).  At 100 TB the classifier
+    rides the scan partitioning untouched; a 2M-bucket production table
+    would move to a broadcast map-side join or stay inlined at ~16 MB of
+    plan literal — both shuffle-free."""
+    arr = F.split(F.trim(F.col("text")), " ")
+    wlit = F.lit(_QC_WEIGHTS)
+
+    def bucket(t):
+        return F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int"), F.lit(64)
+        )
+
+    sw = F.aggregate(
+        arr,
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
+    )
+    logit = sw / F.size(arr) + F.lit(_QC_BIAS)
+    return (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.size(arr).cast("long").alias("n_tokens"),
+            F.round(logit, 4).alias("quality_logit"),
+            (logit >= 0).alias("keep"),
+        )
+    )
+
+
 #: Gopher required stopwords (Rae et al. 2021, public heuristics)
 _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
@@ -1970,9 +2193,6 @@ def perplexity_filter(spark, sf_dir):
         F.round("nll", 4).alias("nll"),
         (F.round("nll", 4) <= F.lit(_PPL_THRESHOLD)).alias("keep"),
     )
-
-
-_DSIR_HEX = "0123456789abcdef"
 
 
 @_q(

@@ -225,6 +225,10 @@ def main():
         "pagerank_links",
         "semdedup_embeddings",
         "gopher_repetition_rules",
+        # round-4c operators
+        "incremental_dedup_bloom",
+        "quality_classifier_hashed",
+        "text_normalize",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

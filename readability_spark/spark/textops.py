@@ -543,6 +543,72 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
+def _bloom_positions(col, num_bits, num_hashes):
+    """The ``num_hashes`` bit positions a value sets/tests in a Bloom filter
+    of ``num_bits`` bits: xxhash64 seeded per lane by a literal prefix,
+    folded into [0, num_bits).  Pure JVM-side expressions."""
+    return [
+        F.pmod(F.xxhash64(F.concat(F.lit(f"{j}:"), col)), F.lit(num_bits))
+        for j in range(num_hashes)
+    ]
+
+
+def bloom_bitmap(df: DataFrame, col, num_bits=1 << 20, num_hashes=4):
+    """Build a Bloom-filter bitmap over ``df[col]`` with pure DataFrame ops
+    (PySpark does not expose ``DataFrameStatFunctions.bloomFilter`` or the
+    internal ``bloom_filter_agg`` SQL function, so the filter is assembled
+    from built-ins): each value sets ``num_hashes`` bit positions; positions
+    are packed into 64-bit words with a ``bit_or`` aggregate; the resulting
+    word table — at most ``num_bits/64`` rows, a CONFIG constant independent
+    of the input size — is collected into a Python list of longs suitable
+    for ``F.lit`` re-broadcast (the same small-by-contract collect as
+    ``collect_codebook``).
+
+    Returns ``(bitmap_words, num_bits)`` where ``bitmap_words[i]`` holds
+    bits ``[64*i, 64*i+63]``.
+
+    Scale: building the bitmap is one map-side-combined groupBy on the word
+    index (≤ num_bits/64 groups), so the shuffle volume is bounded by the
+    bitmap size no matter how large ``df`` is.  Sizing follows the standard
+    Bloom math (num_bits ≈ 1.44 · k · n for FPP 2^-k); false positives only
+    cost extra rows through the exact verify tier — never wrong answers."""
+    num_words = num_bits // 64
+    pos = F.explode(F.array(*_bloom_positions(F.col(col), num_bits, num_hashes)))
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+    )
+    words = (
+        df.select(pos.alias("pos"))
+        .select((F.col("pos") / 64).cast("int").alias("word"), mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * num_words
+    for r in words:
+        bitmap[r.word] = r.bits
+    return bitmap, num_bits
+
+
+def bloom_might_contain(bitmap, col, num_hashes=4):
+    """Map-side Bloom membership predicate against a bitmap built by
+    ``bloom_bitmap``: true iff ALL ``num_hashes`` bit positions of ``col``
+    are set.  The bitmap rides the plan as an array<long> literal (same
+    inlining pattern as the IVF codebook) — zero joins, zero shuffles;
+    guaranteed no false negatives, so ``NOT bloom_might_contain(...)`` rows
+    are definitively absent and can skip any exact verify join."""
+    arr = F.lit(bitmap)
+    cond = None
+    for pos in _bloom_positions(col, len(bitmap) * 64, num_hashes):
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % 64).cast("int")
+        )
+        c = word.bitwiseAND(mask) != 0
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def semdedup(
     emb: DataFrame,
     centroids,

@@ -1,0 +1,187 @@
+"""Invariant tests for the third round-4 operator batch: Bloom-filter
+primitives and the incremental (cross-snapshot) dedup query built on them.
+The DuckDB oracle gate (tools/check_oracles.py) pins exact values; these
+tests pin the properties that make a Bloom prefilter trustworthy — zero
+false negatives at any size, and exactness of the final result even when
+the bitmap is deliberately saturated with false positives."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from readability_spark.spark.session import get_spark  # noqa: E402
+from readability_spark.spark.textops import (  # noqa: E402
+    bloom_bitmap,
+    bloom_might_contain,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    spark = get_spark(
+        app_name="entry-r4c-tests", master="local[8]", shuffle_partitions=8
+    )
+    yield spark
+    spark.stop()
+
+
+class TestBloomPrimitives:
+    def test_no_false_negatives(self, spark):
+        """Every inserted member must test positive — the property the
+        skip-the-join branch of incremental dedup depends on."""
+        members = spark.range(2000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        bitmap, num_bits = bloom_bitmap(members, "h", num_bits=1 << 15)
+        assert num_bits == 1 << 15 and len(bitmap) == (1 << 15) // 64
+        missed = (
+            members.filter(~bloom_might_contain(bitmap, F.col("h"))).count()
+        )
+        assert missed == 0
+
+    def test_nonmembers_mostly_rejected_at_sized_bitmap(self, spark):
+        """At ~16 bits/item the FPP is tiny; non-members should almost all
+        test negative (bound generously to stay hermetic)."""
+        members = spark.range(2000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        bitmap, _ = bloom_bitmap(members, "h", num_bits=1 << 15)
+        probe = spark.range(2000, 4000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        fp = probe.filter(bloom_might_contain(bitmap, F.col("h"))).count()
+        assert fp < 100, f"false-positive rate implausibly high: {fp}/2000"
+
+    def test_saturated_bitmap_still_yields_exact_dedup(self, spark):
+        """The scale-critical property: false positives only route extra
+        rows through the exact verify join, never change the answer.  A
+        64-bit bitmap over 2000 members is fully saturated (every probe
+        is a false positive), yet prefilter + anti-join must equal the
+        plain anti-join."""
+        corpus = spark.range(2000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        increment = spark.range(1000, 3000).select(
+            F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+        )
+        bitmap, _ = bloom_bitmap(corpus, "h", num_bits=64, num_hashes=2)
+        flagged = increment.withColumn(
+            "maybe", bloom_might_contain(bitmap, F.col("h"), num_hashes=2)
+        )
+        result = (
+            flagged.filter(~F.col("maybe"))
+            .select("id")
+            .unionByName(
+                flagged.filter(F.col("maybe"))
+                .join(corpus, "h", "left_anti")
+                .select("id")
+            )
+        )
+        expected = increment.join(corpus, "h", "left_anti").select("id")
+        got = sorted(r.id for r in result.collect())
+        want = sorted(r.id for r in expected.collect())
+        assert got == want == list(range(2000, 3000))
+
+    def test_bitmap_size_is_config_not_data(self, spark):
+        """The driver-side collect is bounded by construction: the word
+        table never exceeds num_bits/64 entries regardless of input rows."""
+        big = spark.range(50_000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        )
+        bitmap, _ = bloom_bitmap(big, "h", num_bits=1 << 10)
+        assert len(bitmap) == (1 << 10) // 64
+
+
+class TestQualityClassifierHashed:
+    def test_weights_are_exact_sixtyfourths_permutation(self):
+        ws = entry._QC_WEIGHTS
+        assert len(ws) == 64
+        assert sorted(round(w * 64) for w in ws) == list(range(-32, 32))
+        for w in ws:  # exact binary fractions -> order-independent sums
+            assert w == round(w * 64) / 64
+
+    def test_logit_matches_manual_fold(self, spark):
+        import hashlib
+
+        rows = entry.quality_classifier_hashed(spark, SF_DIR).collect()
+        docs = {r.doc_id: r.text for r in entry._docs(spark, SF_DIR).collect()}
+        checked = 0
+        for r in rows[:25]:
+            toks = docs[r.doc_id].strip().split(" ")
+            s = sum(
+                entry._QC_WEIGHTS[
+                    int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % 64
+                ]
+                for t in toks
+            )
+            logit = s / len(toks) + entry._QC_BIAS
+            assert abs(logit - r.quality_logit) < 5e-5
+            assert r.keep == (logit >= 0)
+            assert r.n_tokens == len(toks)
+            checked += 1
+        assert checked == 25
+
+    def test_both_classes_present(self, spark):
+        rows = entry.quality_classifier_hashed(spark, SF_DIR).collect()
+        kept = sum(1 for r in rows if r.keep)
+        assert 0 < kept < len(rows), "degenerate classifier split"
+
+
+class TestTextNormalize:
+    def test_planted_noise_fully_removed(self, spark):
+        rows = entry.text_normalize(spark, SF_DIR).collect()
+        for r in rows:
+            t = r.text_norm
+            assert "\t" not in t and "\n" not in t and " " not in t
+            assert "  " not in t, "whitespace run survived"
+            for ch in "“”‘’—–…":
+                assert ch not in t, f"unnormalized {ch!r}"
+            assert t == t.strip()
+            assert r.norm_len == len(t) and r.norm_len < r.raw_len
+
+    def test_normalization_is_idempotent_and_correct(self, spark):
+        docs = {r.doc_id: r.text for r in entry._docs(spark, SF_DIR).collect()}
+        rows = entry.text_normalize(spark, SF_DIR).collect()
+        for r in rows[:25]:
+            # expected closed form: quotes become ASCII, dash joins, the
+            # planted tail collapses to '- fin...'
+            assert r.text_norm == f'"{docs[r.doc_id]}" - fin...'
+
+
+class TestIncrementalDedupBloom:
+    def test_matches_plain_antijoin(self, spark):
+        """The query's bloom + verify result must equal the oracle shape
+        (plain anti-join) computed independently in Spark."""
+        docs = entry._docs(spark, SF_DIR)
+        corpus = docs.select(F.md5(F.col("text")).alias("text_hash"))
+        increment = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id",
+            F.md5(
+                F.when(F.col("doc_id") % 4 == 0, F.col("text")).otherwise(
+                    F.concat(F.col("text"), F.lit(" update run2"))
+                )
+            ).alias("text_hash"),
+        )
+        expected = sorted(
+            r.doc_id
+            for r in increment.join(corpus, "text_hash", "left_anti").collect()
+        )
+        got = sorted(
+            r.doc_id
+            for r in entry.incremental_dedup_bloom(spark, SF_DIR).collect()
+        )
+        assert got == expected
+        # the synthesized increment makes the expectation closed-form:
+        # exactly the changed (%2==0 and %4!=0) pages survive
+        n_docs = docs.count()
+        assert got == [d for d in range(n_docs) if d % 2 == 0 and d % 4 != 0]

@@ -407,6 +407,41 @@ def main():
         materialize=True,
     )
 
+    # 29. Incremental dedup with Bloom prefilter: the membership test is a
+    # map-side expression (bloom-negative branch of the Union carries NO
+    # join), the exact verify tier is a LeftAnti hash join on the
+    # bloom-positive sliver only (AQE broadcasts the corpus-hash side at
+    # this sf — materialize to see it), and nothing is cartesian.  The
+    # whole query needs no shuffle Exchange: both Union branches are
+    # narrow over the scan and the verify join's corpus side arrives by
+    # broadcast.
+    check(
+        "incremental_dedup_bloom_mapside_prefilter",
+        allq["incremental_dedup_bloom"](spark, SF_DIR),
+        must=[r"Union", r"LeftAnti", r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        exact_exchanges=0,
+        materialize=True,
+    )
+
+    # 30. Hashed linear quality classifier: the inlined 64-weight table and
+    # the per-token F.aggregate fold must stay a pure narrow projection —
+    # no explode (Generate), no join, no shuffle
+    check(
+        "quality_classifier_map_only",
+        allq["quality_classifier_hashed"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
+    )
+
+    # 31. Text normalization: replace/regexp chain is map-only codegen
+    check(
+        "text_normalize_map_only",
+        allq["text_normalize"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
