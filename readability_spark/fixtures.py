@@ -566,6 +566,69 @@ def ordered_lists(i, rng):
     )
 
 
+def missing_paragraphs(i, rng):
+    """Reference 'missing-paragraphs' analog: article body written as bare
+    text and <div> blocks with NO <p> wrappers at all — the prep pass's
+    div-to-paragraph handling must still yield the prose, not drop it for
+    lack of paragraph candidates."""
+    return (
+        f"<html><body><div id='main'>"
+        f"{_words(rng, 13)}."
+        f"<div>{_words(rng, 11)}, {_words(rng, 5)}.</div>"
+        f"<div><br>{_words(rng, 9)}.</div>"
+        f"</div></body></html>"
+    )
+
+
+def remove_extra_paragraphs(i, rng):
+    """Reference 'remove-extra-paragraphs' analog: real prose interleaved
+    with many empty / whitespace-only <p> elements that must be removed
+    without disturbing sibling order or the surviving text."""
+    empties = "<p></p><p>  </p><p>\n</p>" * (2 + i % 2)
+    return (
+        f"<html><body><p>{_words(rng, 12)}.</p>{empties}"
+        f"<p>{_words(rng, 8)}.</p>{empties}"
+        f"<p>{_words(rng, 10)}, {_words(rng, 4)}.</p></body></html>"
+    )
+
+
+def links_in_tables(i, rng):
+    """Reference 'links-in-tables' analog: a link-dense layout table (nav
+    chrome) beside a content table holding real prose — exercises the
+    link-density scoring and table handling paths; the golden corpus pins
+    whatever the (Tier-1-verified) extractor decides, byte for byte."""
+    nav_cells = "".join(
+        f'<td><a href="/s/{j}">{_words(rng, 2)}</a></td>' for j in range(6)
+    )
+    return (
+        f"<html><body>"
+        f'<table class="nav"><tr>{nav_cells}</tr></table>'
+        f"<table><tr><td><p>{_words(rng, 14)}.</p>"
+        f"<p>{_words(rng, 9)} <a href='/ref'>{_words(rng, 2)}</a> "
+        f"{_words(rng, 6)}.</p></td></tr></table>"
+        f"</body></html>"
+    )
+
+
+def clean_links(i, rng):
+    """Reference 'clean-links' analog: paragraphs whose links carry noisy
+    presentational attributes (onclick, target, rel chains) — in-text link
+    text stays article text; a link-only footer paragraph exercises the
+    link-density boilerplate path, golden-pinned either way."""
+    footer_links = " ".join(
+        f'<a href="/t/{j}" onclick="track({j})">{_words(rng, 1)}</a>'
+        for j in range(7)
+    )
+    return (
+        f"<html><body><p>{_words(rng, 11)} "
+        f'<a href="/in-text" target="_blank" rel="noopener nofollow">'
+        f"{_words(rng, 3)}</a> {_words(rng, 7)}.</p>"
+        f"<p>{_words(rng, 9)}.</p>"
+        f'<p class="links">{footer_links}</p>'
+        f"</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -605,6 +668,10 @@ FAMILIES = [
     ("metadata_content_missing", metadata_content_missing),
     ("mathjax_scripts", mathjax_scripts),
     ("ordered_lists", ordered_lists),
+    ("missing_paragraphs", missing_paragraphs),
+    ("remove_extra_paragraphs", remove_extra_paragraphs),
+    ("links_in_tables", links_in_tables),
+    ("clean_links", clean_links),
 ]
 
 

@@ -25,7 +25,7 @@ from readability_spark.fixtures import build_rows, golden_for
 from readability_spark.spark.job import extract_articles, run_job
 from readability_spark.spark.session import get_spark
 
-N_ROWS = 260  # 38 families: 117 non-plain rows cycle 37 others, >=3 each
+N_ROWS = 300  # 42 families: 135 non-plain rows cycle 41 others, >=3 each
 
 
 @pytest.fixture(scope="module")
@@ -102,7 +102,7 @@ def test_every_family_present(fixture_rows):
     from readability_spark.fixtures import FAMILIES
 
     counts = Counter(r.family for r in fixture_rows)
-    assert len(counts) == len(FAMILIES) == 38
+    assert len(counts) == len(FAMILIES) == 42
     assert min(counts.values()) >= 3
 
 
