@@ -1999,6 +1999,163 @@ def gopher_line_rules(spark, sf_dir):
     )
 
 
+#: within-document planted boilerplate line for the duplicate-line rules
+#: (word-soup 8-word lines never repeat organically, so each doc gets
+#: floor(n_lines * (doc_id%5) / 4) appended copies — doc_id%5 sweeps the
+#: duplicate fraction from 0 to ~1/2, landing docs on both sides of every
+#: Table A1 threshold)
+_GDL_LINE = "subscribe to the newsletter for daily updates now"
+
+
+def _sql_dup_stats(s, out_prefix):
+    """DuckDB replay of the sorted-adjacency duplicate counters over the
+    already-sorted list expression ``s``: occurrences beyond the first of
+    each distinct element, plus the characters they carry."""
+    dup_cnt = (
+        f"CASE WHEN len({s}) >= 2 THEN len(list_filter("
+        f"generate_series(2, len({s})), i -> {s}[i] = {s}[i-1])) ELSE 0 END"
+    )
+    dup_chars = (
+        f"CASE WHEN len({s}) >= 2 THEN CAST(list_sum(list_transform("
+        f"generate_series(2, len({s})), i -> CASE WHEN {s}[i] = {s}[i-1]"
+        f" THEN length({s}[i]) ELSE 0 END)) AS BIGINT) ELSE 0 END"
+    )
+    tot_chars = f"CAST(list_sum(list_transform({s}, x -> length(x))) AS BIGINT)"
+    return (
+        f"{dup_cnt} AS {out_prefix}_dups, {dup_chars} AS {out_prefix}_dchars,"
+        f" len({s}) AS {out_prefix}_n, {tot_chars} AS {out_prefix}_chars"
+    )
+
+
+@_q(
+    "gopher_dup_lines",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    l0 AS (SELECT doc_id, {_SQL_LINES0} AS lines0 FROM d),
+    l AS (
+      SELECT doc_id,
+             list_concat(lines0, list_transform(
+               generate_series(1, CAST(floor(len(lines0) * (doc_id % 5) / 4.0)
+                                       AS BIGINT)),
+               x -> '{_GDL_LINE}')) AS lines
+      FROM l0
+    ),
+    lp AS (
+      SELECT doc_id, lines,
+             list_transform(
+               generate_series(0, CAST(ceil(len(lines)/3.0) AS INT) - 1),
+               i -> array_to_string(list_slice(lines, i*3+1, i*3+3), ' / '))
+               AS paras
+      FROM l
+    ),
+    s AS (
+      SELECT doc_id, list_sort(lines) AS sl, list_sort(paras) AS sp
+      FROM lp
+    ),
+    m AS (
+      SELECT doc_id, {_sql_dup_stats("sl", "line")},
+             {_sql_dup_stats("sp", "para")}
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(line_n AS BIGINT) AS n_lines,
+           round(CAST(line_dups AS DOUBLE) / line_n, 4) AS dup_line_frac,
+           round(CAST(line_dchars AS DOUBLE) / line_chars, 4)
+             AS dup_line_char_frac,
+           round(CAST(para_dups AS DOUBLE) / para_n, 4) AS dup_para_frac,
+           round(CAST(para_dchars AS DOUBLE) / para_chars, 4)
+             AS dup_para_char_frac,
+           (CAST(line_dups AS DOUBLE) / line_n <= 0.30)
+             AND (CAST(para_dups AS DOUBLE) / para_n <= 0.30)
+             AND (CAST(line_dchars AS DOUBLE) / line_chars <= 0.20)
+             AND (CAST(para_dchars AS DOUBLE) / para_chars <= 0.20) AS keep
+    FROM m
+    """,
+)
+def gopher_dup_lines(spark, sf_dir):
+    """Gopher/MassiveText WITHIN-document repetition rules over line and
+    paragraph units (Rae et al. 2021 Table A1's remaining four lanes,
+    complementing gopher_repetition_rules' n-gram lanes): reject documents
+    whose duplicate-line fraction > 0.30, duplicate-paragraph fraction
+    > 0.30, duplicate-line character fraction > 0.20, or
+    duplicate-paragraph character fraction > 0.20 — "duplicates" being
+    every occurrence beyond the first of an identical unit.  Line
+    structure is the deterministic 8-word synthesis shared with
+    gopher_line_rules; paragraphs are 3-line groups; repeated boilerplate
+    lines are planted in proportion to doc_id%5 so documents land on both
+    sides of every threshold.
+
+    Scale: within-document duplicate counting needs NO shuffle at all —
+    sort each row's unit array (O(L log L) map-side) and count adjacent
+    equal pairs, so duplicate occurrences and their characters fall out
+    of one pass over the sorted array; the whole query is a narrow
+    projection (plan-gated: PLANS.md §gopher_dup_lines_map_only), unlike
+    an exploded groupBy(doc_id, line) formulation which would shuffle the
+    corpus."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _GL_K
+    lines0 = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+    n_plant = F.floor(
+        F.size(lines0) * (F.col("doc_id") % 5) / 4.0
+    ).cast("int")
+    lines = F.concat(lines0, F.array_repeat(F.lit(_GDL_LINE), n_plant))
+    paras = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(lines) / 3.0).cast("int") - 1),
+        lambda i: F.array_join(F.slice(lines, i * 3 + 1, 3), " / "),
+    )
+
+    def dup_stats(sorted_col):
+        idx = F.sequence(F.lit(2), F.size(sorted_col))
+        adj_eq = lambda i: F.element_at(sorted_col, i) == F.element_at(  # noqa: E731
+            sorted_col, i - 1
+        )
+        dups = F.when(
+            F.size(sorted_col) >= 2,
+            F.size(F.filter(idx, adj_eq)),
+        ).otherwise(F.lit(0))
+        dchars = F.when(
+            F.size(sorted_col) >= 2,
+            F.aggregate(
+                idx,
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(adj_eq(i), F.length(F.element_at(sorted_col, i))).otherwise(
+                    F.lit(0)
+                ),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        chars = F.aggregate(
+            sorted_col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        return dups, dchars, F.size(sorted_col), chars
+
+    staged = docs.select(
+        "doc_id", F.sort_array(lines).alias("sl"), F.sort_array(paras).alias("sp")
+    )
+    l_dups, l_dchars, l_n, l_chars = dup_stats(F.col("sl"))
+    p_dups, p_dchars, p_n, p_chars = dup_stats(F.col("sp"))
+    dl = l_dups.cast("double") / l_n
+    dlc = l_dchars.cast("double") / l_chars
+    dp = p_dups.cast("double") / p_n
+    dpc = p_dchars.cast("double") / p_chars
+    return staged.select(
+        "doc_id",
+        l_n.cast("long").alias("n_lines"),
+        F.round(dl, 4).alias("dup_line_frac"),
+        F.round(dlc, 4).alias("dup_line_char_frac"),
+        F.round(dp, 4).alias("dup_para_frac"),
+        F.round(dpc, 4).alias("dup_para_char_frac"),
+        ((dl <= 0.30) & (dp <= 0.30) & (dlc <= 0.20) & (dpc <= 0.20)).alias("keep"),
+    )
+
+
 @_q(
     "c4_quality_filter",
     f"""

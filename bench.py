@@ -229,6 +229,7 @@ def main():
         "incremental_dedup_bloom",
         "quality_classifier_hashed",
         "text_normalize",
+        "gopher_dup_lines",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

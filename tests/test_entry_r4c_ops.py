@@ -158,6 +158,48 @@ class TestTextNormalize:
             assert r.text_norm == f'"{docs[r.doc_id]}" - fin...'
 
 
+class TestGopherDupLines:
+    def test_lane_gradient(self, spark):
+        """doc_id%5 sweeps the planted duplicate fraction: lane 0 has no
+        plants (all keep, zero dup fractions); lane 4 plants ~n_lines
+        copies (all reject)."""
+        rows = entry.gopher_dup_lines(spark, SF_DIR).collect()
+        assert rows
+        by_lane: dict[int, list] = {}
+        for r in rows:
+            by_lane.setdefault(r.doc_id % 5, []).append(r)
+        assert all(r.keep and r.dup_line_frac == 0.0 for r in by_lane[0])
+        assert all(not r.keep for r in by_lane[4])
+        assert any(r.keep for r in rows) and any(not r.keep for r in rows)
+
+    def test_fractions_match_manual_count(self, spark):
+        """Recompute the duplicate-line fraction in plain Python for a
+        sample and compare against the sorted-adjacency Spark result."""
+        from collections import Counter
+
+        docs = {
+            r.doc_id: r.text
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        got = {r.doc_id: r for r in entry.gopher_dup_lines(spark, SF_DIR).collect()}
+        checked = 0
+        for doc_id in sorted(docs)[:30]:
+            toks = docs[doc_id].strip().split(" ")
+            lines = [
+                " ".join(toks[i * 8 : i * 8 + 8])
+                for i in range((len(toks) + 7) // 8)
+            ]
+            lines += [entry._GDL_LINE] * int(len(lines) * (doc_id % 5) / 4)
+            counts = Counter(lines)
+            dups = sum(c - 1 for c in counts.values())
+            frac = dups / len(lines)
+            assert abs(got[doc_id].dup_line_frac - round(frac, 4)) < 1e-9
+            assert got[doc_id].n_lines == len(lines)
+            checked += 1
+        assert checked == 30
+
+
 class TestIncrementalDedupBloom:
     def test_matches_plain_antijoin(self, spark):
         """The query's bloom + verify result must equal the oracle shape

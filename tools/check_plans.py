@@ -442,6 +442,16 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
     )
 
+    # 32. Within-doc duplicate-line/paragraph rules: the sorted-adjacency
+    # formulation keeps the whole query a narrow projection — no explode,
+    # no groupBy(doc_id, line) corpus shuffle, no join
+    check(
+        "gopher_dup_lines_map_only",
+        allq["gopher_dup_lines"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
