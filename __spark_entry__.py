@@ -48,6 +48,12 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: hex digit -> value lookup string for portable md5-prefix bucketing
+#: (shared by the cms_token_counts, quality_classifier_hashed and
+#: dsir_importance oracles)
+_DSIR_HEX = "0123456789abcdef"
+
+
 def _pages_extracted(spark, sf_dir):
     return extract_articles(read_pages(spark, sf_dir))
 
@@ -350,6 +356,127 @@ def decontam_ngram_overlap(spark, sf_dir):
         cand.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("overlap_ngrams"))
+    )
+
+
+#: count-min sketch geometry: 4 hash lanes x 1024 buckets (md5-seeded per
+#: lane, so the construction is deterministic and replayable in DuckDB)
+_CMS_D = 4
+_CMS_W = 1024
+
+
+def _sql_cms_bucket(j_expr, tok_expr):
+    """DuckDB bucket twin: first 3 md5 hex chars -> int -> % _CMS_W."""
+    h = f"md5(CAST({j_expr} AS VARCHAR) || ':' || {tok_expr})"
+    hx = lambda i: f"(strpos('{_DSIR_HEX}', substr({h}, {i}, 1)) - 1)"  # noqa: E731
+    return f"((({hx(1)} * 16 + {hx(2)}) * 16 + {hx(3)}) % {_CMS_W})"
+
+
+@_q(
+    "cms_token_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    lanes AS (SELECT r.j, token FROM tok, range({_CMS_D}) r(j)),
+    cells AS (
+      SELECT j, {_sql_cms_bucket("j", "token")} AS b, count(*) AS c
+      FROM lanes GROUP BY 1, 2
+    ),
+    probe AS (
+      SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE doc_id < 10 AND trim(text) != ''
+    ),
+    est AS (
+      SELECT p.token, min(c.c) AS est_count
+      FROM probe p JOIN cells c ON c.b = {_sql_cms_bucket("c.j", "p.token")}
+      GROUP BY p.token
+    ),
+    truth AS (
+      SELECT t.token, count(*) AS true_count
+      FROM tok t JOIN probe USING (token) GROUP BY t.token
+    )
+    SELECT token,
+           CAST(est_count AS BIGINT) AS est_count,
+           CAST(true_count AS BIGINT) AS true_count,
+           CAST(est_count - true_count AS BIGINT) AS overcount
+    FROM est JOIN truth USING (token)
+    """,
+)
+def cms_token_counts(spark, sf_dir):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream — the approximate-counting companion to the Bloom
+    membership filter: when a pipeline needs token/feature frequencies
+    only to THRESHOLD on them (stopword guards, df caps, heavy-hitter
+    detection), the vocabulary-sized exact aggregate can be replaced by a
+    fixed {_CMS_D}x{_CMS_W}-cell sketch.  Estimates are served MAP-SIDE
+    from the inlined sketch (min over the {_CMS_D} lanes' cells — never
+    an undercount, overcounts bounded by collisions); the demo probes the
+    distinct tokens of doc_id < 10 and emits est vs true vs overcount so
+    the CMS guarantee is visible — and the whole construction is
+    deterministic (md5-seeded lanes), so the DuckDB oracle replays the
+    sketch cell-for-cell.
+
+    Scale: the sketch build is ONE map-side-combined groupBy whose output
+    is capped at {_CMS_D}*{_CMS_W} rows regardless of corpus size (the
+    bounded-output shape bloom_bitmap uses; the lane explode is narrow);
+    the truth branch exists only for the demo comparison and touches just
+    probe-matching tokens (broadcast semi-probe).  At 10^12 documents the
+    sketch replaces a vocabulary-sized shuffle with a 4096-row one."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tok = docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+
+    def bucket(j, t):
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), t)), 1, 3), 16, 10
+            ).cast("int"),
+            F.lit(_CMS_W),
+        )
+
+    lanes = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket(j, F.col("token")).alias("b"))
+            for j in range(_CMS_D)
+        ]
+    )
+    cells = (
+        tok.select(F.explode(lanes).alias("s"))
+        .groupBy("s.j", "s.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    sketch = [0] * (_CMS_D * _CMS_W)
+    for r in cells:
+        sketch[r.j * _CMS_W + r.b] = r.c
+    slit = F.lit(sketch)
+    probe = (
+        docs.filter(F.col("doc_id") < 10)
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+        .distinct()
+    )
+    est = probe.select(
+        "token",
+        F.least(
+            *[
+                F.element_at(slit, F.lit(j * _CMS_W + 1) + bucket(j, F.col("token")))
+                for j in range(_CMS_D)
+            ]
+        )
+        .cast("long")
+        .alias("est_count"),
+    )
+    truth = (
+        tok.join(F.broadcast(probe), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return est.join(truth, "token").select(
+        "token",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count")).cast("long").alias("overcount"),
     )
 
 
@@ -1716,10 +1843,6 @@ def text_normalize(spark, sf_dir):
         F.length(norm).cast("long").alias("norm_len"),
     )
 
-
-#: hex digit -> value lookup string for portable md5-prefix bucketing
-#: (shared by quality_classifier_hashed and dsir_importance oracles)
-_DSIR_HEX = "0123456789abcdef"
 
 #: fasttext-style hashed linear model: 64 weight buckets, weights are
 #: EXACT multiples of 1/64 so double-precision sums are exact (binary

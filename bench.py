@@ -230,6 +230,7 @@ def main():
         "quality_classifier_hashed",
         "text_normalize",
         "gopher_dup_lines",
+        "cms_token_counts",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

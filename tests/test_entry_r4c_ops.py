@@ -158,6 +158,64 @@ class TestTextNormalize:
             assert r.text_norm == f'"{docs[r.doc_id]}" - fin...'
 
 
+class TestCmsTokenCounts:
+    def test_never_undercounts_and_truth_positive(self, spark):
+        """The count-min guarantee: est >= true for every probed token
+        (min over lanes of cells each of which includes the token's own
+        occurrences); truth comes from an exact count of a corpus the
+        probe tokens are drawn from, so it is strictly positive."""
+        rows = entry.cms_token_counts(spark, SF_DIR).collect()
+        assert rows
+        for r in rows:
+            assert r.overcount >= 0, r
+            assert r.est_count == r.true_count + r.overcount
+            assert r.true_count > 0
+
+    def test_sketch_is_fixed_size(self, spark):
+        """The sketch build's output is capped at D*W cells no matter the
+        corpus — the bounded-output property the 100 TB claim rests on."""
+        import pyspark.sql.functions as F
+
+        docs = entry._docs(spark, SF_DIR).filter(F.trim(F.col("text")) != "")
+        tok = docs.select(
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+        )
+        n_cells = (
+            tok.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.pmod(
+                                    F.conv(
+                                        F.substring(
+                                            F.md5(
+                                                F.concat(
+                                                    F.lit(f"{j}:"), F.col("token")
+                                                )
+                                            ),
+                                            1,
+                                            3,
+                                        ),
+                                        16,
+                                        10,
+                                    ).cast("int"),
+                                    F.lit(entry._CMS_W),
+                                ).alias("b"),
+                            )
+                            for j in range(entry._CMS_D)
+                        ]
+                    )
+                ).alias("s")
+            )
+            .select("s.j", "s.b")
+            .distinct()
+            .count()
+        )
+        assert n_cells <= entry._CMS_D * entry._CMS_W
+
+
 class TestGopherDupLines:
     def test_lane_gradient(self, spark):
         """doc_id%5 sweeps the planted duplicate fraction: lane 0 has no

@@ -452,6 +452,18 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
     )
 
+    # 33. Count-min sketch probe: estimates are served from the INLINED
+    # sketch literal (no lookup join anywhere — the only joins are the
+    # demo's broadcast truth probe and the final est-truth merge, both
+    # probe-sized); nothing cartesian
+    check(
+        "cms_probe_inlined_sketch",
+        allq["cms_token_counts"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin", r"SortMergeJoin"],
+        materialize=True,
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
