@@ -480,6 +480,159 @@ def cms_token_counts(spark, sf_dir):
     )
 
 
+#: HyperLogLog geometry: 64 registers addressed by the first two md5 hex
+#: chars (mod 64); rho comes from the next 15 hex chars (60 bits).  2^61
+#: is the exact scaling that turns every 2^-rho term into an integer.
+_HLL_M = 64
+_HLL_POW61 = 1 << 61
+#: alpha_64 from Flajolet et al. 2007 Fig. 3; numerator of the raw
+#: estimator alpha*m^2*2^61, precomputed in Python so BOTH engines divide
+#: the identical double literal by the identical integer-derived D
+_HLL_NUM = 0.709 * _HLL_M * _HLL_M * float(_HLL_POW61)
+
+#: DuckDB rho twin: leading-zero count of the 60-bit tail, hex-digit-wise
+#: (4 bits per leading '0' char + a 4-entry CASE on the first non-zero
+#: nibble) so no float log enters the register construction
+_SQL_HLL_RHO = f"""
+      CASE WHEN length(stripped) = 0 THEN 61
+           ELSE (15 - length(stripped)) * 4
+                + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+                        WHEN dv >= 2 THEN 2 ELSE 3 END) + 1 END
+"""
+
+
+@_q(
+    "hll_distinct_texts",
+    f"""
+    WITH h AS (
+      SELECT source, md5(text) AS hh FROM documents
+    ),
+    rr AS (
+      SELECT source,
+             ((strpos('{_DSIR_HEX}', substr(hh, 1, 1)) - 1) * 16
+              + (strpos('{_DSIR_HEX}', substr(hh, 2, 1)) - 1)) % {_HLL_M} AS register,
+             {_SQL_HLL_RHO} AS rho
+      FROM (
+        SELECT source, hh,
+               regexp_replace(substr(hh, 3, 15), '^0+', '') AS stripped,
+               strpos('{_DSIR_HEX}', substr(regexp_replace(substr(hh, 3, 15), '^0+', ''), 1, 1)) - 1 AS dv
+        FROM h
+      )
+    ),
+    base AS (SELECT source, register, max(rho) AS r FROM rr GROUP BY 1, 2),
+    regs AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT 'ALL' AS source, register, max(r) AS r FROM base GROUP BY 2
+    ),
+    summ AS (
+      SELECT source, count(*) AS used,
+             sum(CAST((CAST(1 AS BIGINT) << (61 - r)) AS HUGEINT)) AS dp
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT source, used,
+             {_HLL_NUM!r} / CAST(dp + CAST({_HLL_M} - used AS HUGEINT)
+                                      * CAST({_HLL_POW61} AS HUGEINT) AS DOUBLE) AS raw
+      FROM summ
+    ),
+    truth AS (
+      SELECT source, count(DISTINCT text) AS true_distinct FROM documents GROUP BY 1
+      UNION ALL
+      SELECT 'ALL' AS source, count(DISTINCT text) AS true_distinct FROM documents
+    )
+    SELECT e.source,
+           CAST(used AS BIGINT) AS used_registers,
+           CAST(round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND used < {_HLL_M}
+                           THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - used))
+                           ELSE raw END) AS BIGINT) AS est_distinct,
+           CAST(true_distinct AS BIGINT) AS true_distinct
+    FROM est e JOIN truth t ON e.source = t.source
+    """,
+)
+def hll_distinct_texts(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) over
+    document content hashes — the cardinality member of the sketch trio
+    (Bloom = membership, count-min = frequency, HLL = distinct count):
+    "how many unique documents does this crawl hold" answered from
+    {_HLL_M} bytes per shard instead of a corpus-wide distinct.
+
+    Spark ships this as `approx_count_distinct` (HLL++, the production
+    call); this query builds the classic construction EXPLICITLY and
+    deterministically (registers from md5 bits, rho = leading-zero count
+    of a 60-bit tail computed hex-digit-wise with no float log) so the
+    DuckDB oracle replays it register-for-register, and so the MERGE step
+    is visible: per-source partial sketches combine by register-wise MAX
+    — the associative union that lets 10^12 documents be sketched shard
+    by shard, stored as {_HLL_M} small integers each, and unioned later
+    without touching the data again.  Output: per-source rows AND the
+    merged 'ALL' row, est vs true (small sources sit on the
+    linear-counting branch, the merged row on the raw-estimator branch,
+    so both published corrections are exercised).
+
+    Scale: ONE map-side-combined groupBy over (source, register) whose
+    output is <= n_sources x {_HLL_M} rows regardless of corpus size;
+    everything downstream (merge, estimate, demo truth join) runs on
+    those few rows.  The truth branch exists only for the demo
+    comparison."""
+    docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("text"))
+    reg = F.pmod(F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(_HLL_M))
+    stripped = F.regexp_replace(F.substring(h, 3, 15), "^0+", "")
+    dv = F.conv(F.substring(stripped, 1, 1), 16, 10).cast("int")
+    lz = F.when(dv >= 8, 0).when(dv >= 4, 1).when(dv >= 2, 2).otherwise(3)
+    rho = F.when(F.length(stripped) == 0, F.lit(61)).otherwise(
+        (F.lit(15) - F.length(stripped)) * 4 + lz + 1
+    )
+    base = (
+        docs.select("source", reg.alias("register"), rho.alias("rho"))
+        .groupBy("source", "register")
+        .agg(F.max("rho").alias("r"))
+    )
+    merged = (
+        base.groupBy("register")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("source"), "register", "r")
+    )
+    regs = base.unionByName(merged)
+    summ = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - r) AS DECIMAL(38,0))")
+        ).alias("dp"),
+    )
+    d_total = (
+        F.col("dp")
+        + (F.lit(_HLL_M) - F.col("used")).cast("decimal(38,0)")
+        * F.lit(_HLL_POW61).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(_HLL_NUM) / d_total
+    linear = F.lit(float(_HLL_M)) * F.log(
+        F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("used"))
+    )
+    est = summ.select(
+        "source",
+        F.col("used").cast("long").alias("used_registers"),
+        F.round(
+            F.when((raw <= F.lit(2.5 * _HLL_M)) & (F.col("used") < _HLL_M), linear)
+            .otherwise(raw)
+        )
+        .cast("long")
+        .alias("est_distinct"),
+    )
+    truth = (
+        docs.groupBy("source")
+        .agg(F.countDistinct("text").cast("long").alias("true_distinct"))
+        .unionByName(
+            docs.agg(F.countDistinct("text").cast("long").alias("true_distinct"))
+            .select(F.lit("ALL").alias("source"), "true_distinct")
+        )
+    )
+    return est.join(truth, "source").select(
+        "source", "used_registers", "est_distinct", "true_distinct"
+    )
+
+
 @_q(
     "dedup_exact",
     """

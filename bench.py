@@ -231,6 +231,7 @@ def main():
         "text_normalize",
         "gopher_dup_lines",
         "cms_token_counts",
+        "hll_distinct_texts",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -285,3 +285,66 @@ class TestIncrementalDedupBloom:
         # exactly the changed (%2==0 and %4!=0) pages survive
         n_docs = docs.count()
         assert got == [d for d in range(n_docs) if d % 2 == 0 and d % 4 != 0]
+
+
+class TestHllDistinctTexts:
+    def test_python_replay_matches_exactly(self, spark):
+        """Replay the whole sketch in plain Python (hashlib.md5) — an
+        engine-independent third implementation — and require the exact
+        same est_distinct per scope, proving the construction is fully
+        deterministic (no engine-specific hashing or float ordering)."""
+        import hashlib
+        import math
+        from collections import defaultdict
+
+        M = entry._HLL_M
+        docs = entry._docs(spark, SF_DIR).collect()
+        regs: dict[str, dict[int, int]] = defaultdict(dict)
+        for row in docs:
+            h = hashlib.md5(row.text.encode()).hexdigest()
+            reg = int(h[:2], 16) % M
+            tail = h[2:17]
+            stripped = tail.lstrip("0")
+            if not stripped:
+                rho = 61
+            else:
+                dv = int(stripped[0], 16)
+                lz = 0 if dv >= 8 else 1 if dv >= 4 else 2 if dv >= 2 else 3
+                rho = (15 - len(stripped)) * 4 + lz + 1
+            for scope in (row.source, "ALL"):
+                r = regs[scope]
+                r[reg] = max(r.get(reg, 0), rho)
+
+        def estimate(r):
+            used = len(r)
+            dp = sum(1 << (61 - v) for v in r.values())
+            d_total = float(dp + (M - used) * entry._HLL_POW61)
+            raw = entry._HLL_NUM / d_total
+            if raw <= 2.5 * M and used < M:
+                return round(float(M) * math.log(float(M) / (M - used)))
+            return round(raw)
+
+        got = {
+            r.source: r
+            for r in entry.hll_distinct_texts(spark, SF_DIR).collect()
+        }
+        assert set(got) == set(regs)
+        for scope, r in regs.items():
+            assert got[scope].used_registers == len(r), scope
+            assert got[scope].est_distinct == estimate(r), scope
+
+    def test_merged_row_and_accuracy(self, spark):
+        """The ALL row is the register-wise max-merge of the per-source
+        sketches (associative union), and the merged estimate lands
+        within the published error envelope for m=64 (~1.04/sqrt(64) =
+        13% sigma; allow 3 sigma)."""
+        rows = {
+            r.source: r
+            for r in entry.hll_distinct_texts(spark, SF_DIR).collect()
+        }
+        a = rows.pop("ALL")
+        assert a.true_distinct == 500
+        assert abs(a.est_distinct - a.true_distinct) <= 0.39 * a.true_distinct
+        # merged sketch covers at least as many registers as any partial
+        assert all(a.used_registers >= r.used_registers for r in rows.values())
+        assert sum(r.true_distinct for r in rows.values()) == a.true_distinct

@@ -464,6 +464,18 @@ def main():
         materialize=True,
     )
 
+    # 34. HyperLogLog sketch: ONE corpus-sized aggregate (partial+final
+    # HashAggregate over (source, register), bounded output); everything
+    # after it — merge, estimate, truth join — is sketch-sized; nothing
+    # cartesian and no corpus re-shuffle beyond the truth demo branch
+    check(
+        "hll_bounded_sketch_agg",
+        allq["hll_distinct_texts"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Scan parquet"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        materialize=True,
+    )
+
     out = ["# BENCH/PLANS.md — physical-plan audit", ""]
     out.append(
         "Generated by `tools/check_plans.py` (asserts pushdown / pruning / "
