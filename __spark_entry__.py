@@ -633,6 +633,116 @@ def hll_distinct_texts(spark, sf_dir):
     )
 
 
+#: histogram-sketch geometry: fixed-width bins over the score domain.
+#: Width 8 over n_chars (observed range ~[44, 577]) keeps the sketch well
+#: under _HQ_BINS rows while giving sub-2% relative error at the median.
+_HQ_W = 8
+#: the quantile gates a curation pipeline actually asks for: median,
+#: the p90 long-tail threshold, and the p99 outlier cutoff
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@_q(
+    "histogram_quantiles",
+    f"""
+    WITH d AS (SELECT n_chars AS s FROM documents),
+    n AS (SELECT count(*) AS n FROM d),
+    hist AS (
+      SELECT CAST(floor(s / {_HQ_W}) AS BIGINT) AS b, count(*) AS c
+      FROM d GROUP BY 1
+    ),
+    cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM hist),
+    tgt AS (
+      SELECT q, CAST(ceil(q * n) AS BIGINT) AS k, n
+      FROM (SELECT CAST(unnest([{', '.join(repr(q) for q in _HQ_QS)}]) AS DOUBLE) AS q), n
+    ),
+    pick AS (
+      SELECT t.q, t.k, t.n, min(c.b) AS b
+      FROM tgt t JOIN cum c ON c.cum >= t.k GROUP BY 1, 2, 3
+    ),
+    est AS (
+      SELECT p.q, p.k, p.n,
+             p.b * {_HQ_W}.0
+             + (p.k - (c.cum - c.c)) * {_HQ_W}.0 / c.c AS est_value
+      FROM pick p JOIN cum c ON c.b = p.b
+    ),
+    exact_cum AS (
+      SELECT s, sum(c2) OVER (ORDER BY s) AS cum
+      FROM (SELECT s, count(*) AS c2 FROM d GROUP BY 1)
+    ),
+    truth AS (
+      SELECT t.q, min(e.s) AS true_value
+      FROM tgt t JOIN exact_cum e ON e.cum >= t.k GROUP BY 1
+    )
+    SELECT e.q, e.est_value,
+           CAST(t.true_value AS BIGINT) AS true_value,
+           CAST(e.n AS BIGINT) AS n_docs
+    FROM est e JOIN truth t ON e.q = t.q
+    """,
+)
+def histogram_quantiles(spark, sf_dir):
+    """Quantile thresholds from a fixed-width histogram sketch — how a
+    curation pipeline computes its percentile gates ("drop the bottom 10%
+    by quality score", "cap at p99 length") at 10^12 documents: an exact
+    percentile needs a global sort of the corpus, but a histogram is ONE
+    map-side-combined groupBy whose output is bounded by the bin count,
+    is mergeable across shards by plain count addition, and yields any
+    quantile by cumulative-sum + within-bin linear interpolation with
+    error <= one bin width.  (Spark also ships `percentile_approx` —
+    KLL-sketch-shaped, the black-box production call; this builds the
+    transparent construction so the DuckDB oracle replays it bin-for-bin,
+    and emits est vs the exact rank-based value so the error bound is
+    visible.)
+
+    Everything after the corpus-sized histogram aggregate runs on <=128
+    rows (the cumulative window's single-partition stage holds bin rows,
+    not documents); the truth branch exists only for the demo comparison
+    and is itself a bounded groupBy over distinct scores.  The
+    interpolation arithmetic is written with the identical operand order
+    on both engines, so the doubles hash-match bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select(F.col("n_chars").alias("s"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = (
+        docs.groupBy(F.floor(F.col("s") / _HQ_W).alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("b", "c", F.sum("c").over(w_b).alias("cum"))
+    qs = spark.createDataFrame([(q,) for q in _HQ_QS], "q double")
+    tgt = qs.crossJoin(n).select(
+        "q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("k"), "n"
+    )
+    pick = (
+        tgt.join(cum, cum["cum"] >= tgt["k"])
+        .groupBy("q", "k", "n")
+        .agg(F.min("b").alias("b"))
+    )
+    est = pick.join(cum, "b").select(
+        "q",
+        (
+            F.col("b") * float(_HQ_W)
+            + (F.col("k") - (F.col("cum") - F.col("c"))) * float(_HQ_W) / F.col("c")
+        ).alias("est_value"),
+        "k",
+        "n",
+    )
+    exact_cum = (
+        docs.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .select("s", F.sum("c2").over(Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)).alias("cum"))
+    )
+    truth = (
+        tgt.join(exact_cum, exact_cum["cum"] >= tgt["k"])
+        .groupBy("q")
+        .agg(F.min("s").cast("long").alias("true_value"))
+    )
+    return est.join(truth, "q").select(
+        "q", "est_value", "true_value", F.col("n").cast("long").alias("n_docs")
+    )
+
+
 @_q(
     "dedup_exact",
     """

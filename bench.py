@@ -232,6 +232,7 @@ def main():
         "gopher_dup_lines",
         "cms_token_counts",
         "hll_distinct_texts",
+        "histogram_quantiles",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

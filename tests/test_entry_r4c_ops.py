@@ -348,3 +348,42 @@ class TestHllDistinctTexts:
         # merged sketch covers at least as many registers as any partial
         assert all(a.used_registers >= r.used_registers for r in rows.values())
         assert sum(r.true_distinct for r in rows.values()) == a.true_distinct
+
+
+class TestHistogramQuantiles:
+    def test_python_replay_matches_exactly(self, spark):
+        """Engine-independent replay: rebuild the histogram sketch and
+        both the interpolated estimate and the exact rank-based truth in
+        plain Python and require identical values (the interpolation is
+        written with the same operand order everywhere)."""
+        import math
+        from collections import Counter
+
+        W = entry._HQ_W
+        scores = [r.s for r in
+                  entry._docs(spark, SF_DIR).select(
+                      F.col("n_chars").alias("s")).collect()]
+        n = len(scores)
+        hist = Counter(s // W for s in scores)
+        got = {r.q: r for r in
+               entry.histogram_quantiles(spark, SF_DIR).collect()}
+        assert set(got) == set(entry._HQ_QS)
+        ordered = sorted(scores)
+        for q in entry._HQ_QS:
+            k = math.ceil(q * n)
+            cum = 0
+            for b in sorted(hist):
+                if cum + hist[b] >= k:
+                    est = b * float(W) + (k - cum) * float(W) / hist[b]
+                    break
+                cum += hist[b]
+            r = got[q]
+            assert r.n_docs == n
+            assert r.est_value == est, q
+            assert r.true_value == ordered[k - 1], q
+
+    def test_error_bounded_by_bin_width(self, spark):
+        """The sketch's guarantee: the interpolated estimate is within
+        one bin width of the exact rank-based quantile."""
+        for r in entry.histogram_quantiles(spark, SF_DIR).collect():
+            assert abs(r.est_value - r.true_value) <= entry._HQ_W, r

@@ -464,6 +464,18 @@ def main():
         materialize=True,
     )
 
+    # 34a. Histogram-quantile sketch: the corpus reaches exactly one
+    # bounded-output aggregate (partial+final over bin ids); the window
+    # and every join downstream run on bin rows, so no corpus-sized sort
+    # or cartesian anywhere
+    check(
+        "histogram_quantiles_bounded_sketch",
+        allq["histogram_quantiles"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Scan parquet"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34. HyperLogLog sketch: ONE corpus-sized aggregate (partial+final
     # HashAggregate over (source, register), bounded output); everything
     # after it — merge, estimate, truth join — is sketch-sized; nothing
