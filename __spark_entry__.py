@@ -743,6 +743,108 @@ def histogram_quantiles(spark, sf_dir):
     )
 
 
+#: keywords kept per document
+_TFIDF_K = 5
+#: fixed-point scale for the tf-idf score: ranking on round(score * 2^20)
+#: instead of the raw double removes any chance that a last-ulp libm
+#: difference between the JVM's Math.log and DuckDB's ln reorders two
+#: near-tied keywords (a 1-ulp input wiggle moves the scaled value by
+#: ~1e-9, nowhere near a rounding boundary)
+_TFIDF_FP = 1 << 20
+
+
+@_q(
+    "tf_idf_keywords",
+    f"""
+    WITH d AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM d),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM d GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM d GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST(round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)
+                        * {float(_TFIDF_FP)!r}) AS BIGINT) AS score_fp
+      FROM tf JOIN df USING (token), n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score_fp DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, rank, token,
+           CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_fp
+    FROM ranked WHERE rank <= {_TFIDF_K}
+    """,
+)
+def tf_idf_keywords(spark, sf_dir):
+    """TF-IDF keyword extraction — top-{_TFIDF_K} most characteristic
+    tokens per document (smoothed idf = ln((N+1)/(df+1)) + 1, the
+    sklearn convention), the classic lexical-signature operator behind
+    keyword tagging, topic bucketing and cheap doc-similarity features in
+    a curation pipeline.
+
+    Plan at scale: term frequencies are ONE map-combinable
+    groupBy(doc_id, token); document frequencies reuse the same exploded
+    stream with a two-phase distinct-count per token (vocabulary-sized
+    output, orders of magnitude smaller than the corpus); the idf join is
+    against that vocabulary-sized dim (AQE broadcasts it at small scale;
+    at 10^12 docs it is a sort-merge on token, which is the correct shape
+    because both sides are already token-keyed); top-k per doc is a
+    row_number window over doc_id.  Ranking happens on a FIXED-POINT
+    score (round(score * 2^20) as BIGINT, token as tiebreak) so the
+    selected rows cannot depend on last-ulp libm differences between
+    engines — the emitted score is that same integer, hash-stable by
+    construction."""
+    from pyspark.sql import Window
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+        )
+    )
+    n = d.agg(F.countDistinct("doc_id").cast("double").alias("n"))
+    tf = d.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = d.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+                * float(_TFIDF_FP)
+            )
+            .cast("long")
+            .alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select(
+            "doc_id",
+            "rank",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score_fp",
+        )
+    )
+
+
 @_q(
     "dedup_exact",
     """

@@ -233,6 +233,7 @@ def main():
         "cms_token_counts",
         "hll_distinct_texts",
         "histogram_quantiles",
+        "tf_idf_keywords",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

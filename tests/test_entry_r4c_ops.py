@@ -387,3 +387,55 @@ class TestHistogramQuantiles:
         one bin width of the exact rank-based quantile."""
         for r in entry.histogram_quantiles(spark, SF_DIR).collect():
             assert abs(r.est_value - r.true_value) <= entry._HQ_W, r
+
+
+class TestTfIdfKeywords:
+    def test_python_replay_matches_exactly(self, spark):
+        """Rebuild tf, df and the fixed-point score in plain Python and
+        require the identical top-k selection per document."""
+        import math
+        from collections import Counter, defaultdict
+
+        docs = {
+            r.doc_id: r.text.strip().split(" ")
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        n = float(len(docs))
+        df: Counter = Counter()
+        for toks in docs.values():
+            df.update(set(toks))
+        expected: dict[int, list] = {}
+        for doc_id, toks in docs.items():
+            tf = Counter(toks)
+            scored = [
+                (
+                    round(c * (math.log((n + 1.0) / (df[t] + 1.0)) + 1.0)
+                          * float(entry._TFIDF_FP)),
+                    t,
+                    c,
+                )
+                for t, c in tf.items()
+            ]
+            scored.sort(key=lambda x: (-x[0], x[1]))
+            expected[doc_id] = scored[: entry._TFIDF_K]
+        got: dict[int, list] = defaultdict(list)
+        for r in entry.tf_idf_keywords(spark, SF_DIR).collect():
+            got[r.doc_id].append(r)
+        assert set(got) == set(expected)
+        for doc_id, rows in got.items():
+            rows.sort(key=lambda r: r.rank)
+            assert [r.token for r in rows] == [t for _, t, _ in expected[doc_id]]
+            assert [r.score_fp for r in rows] == [s for s, _, _ in expected[doc_id]]
+            assert [r.tf for r in rows] == [c for _, _, c in expected[doc_id]]
+            assert [r.df for r in rows] == [df[t] for _, t, _ in expected[doc_id]]
+
+    def test_k_per_doc_and_rank_contiguous(self, spark):
+        from collections import defaultdict
+
+        by_doc = defaultdict(list)
+        for r in entry.tf_idf_keywords(spark, SF_DIR).collect():
+            by_doc[r.doc_id].append(r.rank)
+        for doc_id, ranks in by_doc.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), doc_id
+            assert len(ranks) <= entry._TFIDF_K

@@ -464,6 +464,18 @@ def main():
         materialize=True,
     )
 
+    # 34b. TF-IDF keywords: tf is a map-combinable partial+final
+    # aggregate; the idf dim join must not go cartesian; the top-k window
+    # partitions by doc_id (no global single-partition window over the
+    # corpus)
+    check(
+        "tf_idf_keywords_shape",
+        allq["tf_idf_keywords"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Window", r"Scan parquet"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34a. Histogram-quantile sketch: the corpus reaches exactly one
     # bounded-output aggregate (partial+final over bin ids); the window
     # and every join downstream run on bin rows, so no corpus-sized sort
