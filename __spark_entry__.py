@@ -845,6 +845,111 @@ def tf_idf_keywords(spark, sf_dir):
     )
 
 
+def _sql_hex_bigint(expr, n):
+    """DuckDB horner expansion: first n hex chars of `expr` -> BIGINT."""
+    out = "CAST(0 AS BIGINT)"
+    for i in range(1, n + 1):
+        out = (
+            f"({out} * 16 + (strpos('{_DSIR_HEX}', substr({expr}, {i}, 1)) - 1))"
+        )
+    return out
+
+
+#: temperature for the mix: alpha=0.5 (sqrt flattening, the XLM-R /
+#: multilingual-LM convention) — rare languages are upsampled relative
+#: to their corpus share, dominant ones downsampled
+_TMS_ALPHA_SQRT = True
+#: sampling budget as a fraction of the corpus
+_TMS_BUDGET = 0.5
+#: 2^52 — the 13-hex-char hash domain, exact as a double
+_TMS_DOM = float(1 << 52)
+
+
+@_q(
+    "temperature_mix_sample",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    s AS (
+      SELECT sum(sqrt(CAST(n AS DOUBLE))) AS sumw,
+             sum(n) AS total
+      FROM c
+    ),
+    r AS (
+      SELECT lang, n,
+             least(1.0, ({_TMS_BUDGET!r} * total)
+                        * (sqrt(CAST(n AS DOUBLE)) / sumw) / n) AS rate
+      FROM c, s
+    ),
+    u AS (
+      SELECT doc_id, lang,
+             {_sql_hex_bigint("md5(CAST(doc_id AS VARCHAR))", 13)} AS h
+      FROM documents
+    )
+    SELECT u.doc_id, u.lang,
+           CAST(r.n AS BIGINT) AS n_lang,
+           round(r.rate, 6) AS rate
+    FROM u JOIN r ON u.lang = r.lang
+    WHERE CAST(u.h AS DOUBLE) / {_TMS_DOM!r} < r.rate
+    """,
+)
+def temperature_mix_sample(spark, sf_dir):
+    """Temperature-based data-mix sampling (alpha = 0.5) — the
+    multilingual/domain rebalancing operator from XLM-R / mT5-style
+    training mixes: sampling weights proportional to count^alpha flatten
+    the corpus distribution, upsampling rare languages and downsampling
+    dominant ones, scaled to a fixed budget (here half the corpus).
+    Unlike `sample_stratified` (fixed per-stratum rates), the rates here
+    are DERIVED FROM THE DATA in a first aggregate pass, then applied as
+    a pure map-side deterministic filter (md5(doc_id) 52-bit uniform vs
+    the per-language rate — no rand(), reproducible across engines,
+    runs and retries).
+
+    Plan at scale: pass 1 is a language-cardinality groupBy (bounded
+    output); the rate table is a tiny dim the filter pass broadcast-joins
+    (AQE does this unprompted), so the corpus itself is touched exactly
+    twice, both map-side — the same two-scan shape any data-mixing job
+    has.  Float caveat, documented: sqrt is IEEE-exact on both engines
+    but the 5-term weight sum's addition order is engine-internal; a
+    last-ulp divergence could flip a document whose 52-bit hash sits
+    exactly at the rate boundary (probability ~2^-40 per corpus) —
+    accepted, as with the libm notes on the sketch operators."""
+    docs = _docs(spark, sf_dir)
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    s = c.agg(
+        F.sum(F.sqrt(F.col("n").cast("double"))).alias("sumw"),
+        F.sum("n").alias("total"),
+    )
+    r = c.crossJoin(s).select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(1.0),
+            (F.lit(_TMS_BUDGET) * F.col("total"))
+            * (F.sqrt(F.col("n").cast("double")) / F.col("sumw"))
+            / F.col("n"),
+        ).alias("rate"),
+    )
+    u = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    return (
+        u.join(r, "lang")
+        .filter(F.col("h").cast("double") / _TMS_DOM < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n").cast("long").alias("n_lang"),
+            F.round(F.col("rate"), 6).alias("rate"),
+        )
+    )
+
+
 @_q(
     "dedup_exact",
     """

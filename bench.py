@@ -234,6 +234,7 @@ def main():
         "hll_distinct_texts",
         "histogram_quantiles",
         "tf_idf_keywords",
+        "temperature_mix_sample",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

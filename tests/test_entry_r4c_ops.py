@@ -439,3 +439,58 @@ class TestTfIdfKeywords:
         for doc_id, ranks in by_doc.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), doc_id
             assert len(ranks) <= entry._TFIDF_K
+
+
+class TestTemperatureMixSample:
+    def test_python_replay_matches_exactly(self, spark):
+        """Replay rates and the per-doc hash decision in plain Python;
+        require the identical kept set."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        docs = [(r.doc_id, r.lang)
+                for r in entry._docs(spark, SF_DIR).collect()]
+        n_by = Counter(lang for _, lang in docs)
+        total = sum(n_by.values())
+        sumw = sum(math.sqrt(float(n)) for n in sorted(n_by.values()))
+        # NB: Python's sum order here differs from the engines' internal
+        # order; equality below therefore also demonstrates the result is
+        # insensitive to it at this data (docstring caveat)
+        rate = {
+            lang: min(1.0, (entry._TMS_BUDGET * total)
+                  * (math.sqrt(float(n)) / sumw) / n)
+            for lang, n in n_by.items()
+        }
+        expected = set()
+        for doc_id, lang in docs:
+            h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16)
+            if float(h) / entry._TMS_DOM < rate[lang]:
+                expected.add(doc_id)
+        rows = entry.temperature_mix_sample(spark, SF_DIR).collect()
+        assert {r.doc_id for r in rows} == expected
+        for r in rows:
+            assert r.n_lang == n_by[r.lang]
+            assert abs(r.rate - rate[r.lang]) < 1e-6
+
+    def test_flattening_property(self, spark):
+        """alpha=0.5 must upsample rare languages relative to dominant
+        ones: keep RATES are ordered inversely to corpus share, the kept
+        total is near the budget, and the kept mix is flatter (lower
+        max/min ratio) than the corpus mix."""
+        from collections import Counter
+
+        rows = entry.temperature_mix_sample(spark, SF_DIR).collect()
+        corpus = Counter(
+            r.lang for r in entry._docs(spark, SF_DIR).collect())
+        kept = Counter(r.lang for r in rows)
+        rates = {r.lang: r.rate for r in rows}
+        # inverse ordering: bigger language -> smaller sampling rate
+        by_size = sorted(corpus, key=corpus.get)
+        for small, big in zip(by_size, by_size[1:]):
+            assert rates[small] >= rates[big], (small, big)
+        total = sum(corpus.values())
+        assert abs(len(rows) - entry._TMS_BUDGET * total) <= 0.1 * total
+        flat = (max(kept.values()) / min(kept.values()))
+        orig = (max(corpus.values()) / min(corpus.values()))
+        assert flat < orig

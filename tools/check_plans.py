@@ -464,6 +464,18 @@ def main():
         materialize=True,
     )
 
+    # 34c. Temperature mix sampling: rates come from a bounded groupBy,
+    # the corpus-side filter pass joins the tiny rate dim by BROADCAST
+    # (the corpus must not shuffle for a sampling decision), nothing
+    # cartesian
+    check(
+        "temperature_mix_broadcast_rates",
+        allq["temperature_mix_sample"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"SortMergeJoin"],
+        materialize=True,
+    )
+
     # 34b. TF-IDF keywords: tf is a map-combinable partial+final
     # aggregate; the idf dim join must not go cartesian; the top-k window
     # partitions by doc_id (no global single-partition window over the
