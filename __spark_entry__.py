@@ -950,6 +950,118 @@ def temperature_mix_sample(spark, sf_dir):
     )
 
 
+#: the demo query, BM25 parameters (Robertson k1/b defaults), result size
+_BM25_QUERY = ("hash", "join", "merge")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+
+@_q(
+    "bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+      WHERE term IN ({', '.join(f"'{t}'" for t in _BM25_QUERY)})
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    term_scores AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1!r} + 1.0))
+               / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                                          + {_BM25_B!r} * dl.dl / s.avgdl))
+               * {float(_TFIDF_FP)!r}) AS BIGINT) AS term_fp
+      FROM tf
+      JOIN df USING (term) JOIN dl ON dl.doc_id = tf.doc_id, stats s
+    )
+    SELECT doc_id,
+           CAST(sum(term_fp) AS BIGINT) AS score_fp,
+           CAST(count(*) AS BIGINT) AS n_terms_matched
+    FROM term_scores
+    GROUP BY doc_id
+    ORDER BY score_fp DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval — top-{_BM25_TOPK} documents for a fixed
+    {len(_BM25_QUERY)}-term query (Robertson/Lucene BM25: positive
+    smoothed idf, k1={_BM25_K1}, b={_BM25_B} length normalization).  The
+    lexical counterpart to the embedding retrieval family (`topk_cosine`
+    brute force, `ann_ivf_topk`, `lsh_cosine_pairs`): together they are
+    the hybrid-search pair a corpus-inspection workflow actually runs.
+
+    Scale shape: the token stream is filtered to the query's terms
+    MAP-SIDE before any aggregation (the explode feeds a literal IN — at
+    10^12 docs only matching postings survive the scan stage), tf is one
+    map-combinable groupBy, df/avgdl are bounded aggregates joined back
+    by broadcast, and the global top-k is orderBy+limit — Spark compiles
+    that to TakeOrderedAndProject (a per-partition heap + driver merge of
+    {_BM25_TOPK}-row samples), NOT a corpus sort.  Determinism: each
+    term's score is fixed-pointed (round(x*2^20) BIGINT) BEFORE the
+    per-doc sum, so the final score is an order-independent integer sum
+    — no float-accumulation-order hazard — and ties break on doc_id."""
+    docs = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select("doc_id", F.split(F.trim(F.col("text")), " ").alias("toks"))
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_fp = (
+        idf
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        * float(_TFIDF_FP)
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", F.round(term_fp).cast("long").alias("term_fp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_fp").cast("long").alias("score_fp"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score_fp").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOPK)
+    )
+
+
 @_q(
     "dedup_exact",
     """

@@ -235,6 +235,7 @@ def main():
         "histogram_quantiles",
         "tf_idf_keywords",
         "temperature_mix_sample",
+        "bm25_search",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -494,3 +494,54 @@ class TestTemperatureMixSample:
         flat = (max(kept.values()) / min(kept.values()))
         orig = (max(corpus.values()) / min(corpus.values()))
         assert flat < orig
+
+
+class TestBm25Search:
+    def test_python_replay_matches_exactly(self, spark):
+        """Replay BM25 (tf, df, avgdl, per-term fixed-point scores,
+        integer sum, top-k with doc_id tiebreak) in plain Python and
+        require the identical result rows."""
+        import math
+        from collections import Counter
+
+        docs = {
+            r.doc_id: r.text.strip().split(" ")
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        n = float(len(docs))
+        avgdl = sum(len(t) for t in docs.values()) / len(docs)
+        k1, b = entry._BM25_K1, entry._BM25_B
+        df: Counter = Counter()
+        for toks in docs.values():
+            df.update(set(toks) & set(entry._BM25_QUERY))
+        scored = []
+        for doc_id, toks in docs.items():
+            tf = Counter(t for t in toks if t in entry._BM25_QUERY)
+            if not tf:
+                continue
+            s = 0
+            for t, c in tf.items():
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += round(
+                    idf * (c * (k1 + 1.0))
+                    / (c + k1 * (1.0 - b + b * len(toks) / avgdl))
+                    * float(entry._TFIDF_FP)
+                )
+            scored.append((-s, doc_id, len(tf)))
+        scored.sort()
+        expected = [
+            (doc_id, -neg, m)
+            for neg, doc_id, m in scored[: entry._BM25_TOPK]
+        ]
+        got = [
+            (r.doc_id, r.score_fp, r.n_terms_matched)
+            for r in entry.bm25_search(spark, SF_DIR).collect()
+        ]
+        assert sorted(got) == sorted(expected)
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        """The global top-k must compile to TakeOrderedAndProject (a
+        per-partition heap), never a corpus-wide Sort+Limit."""
+        plan = entry.bm25_search(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

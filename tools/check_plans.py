@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34d. BM25: global top-k must be TakeOrderedAndProject (per-
+    # partition heap + driver merge), never a corpus-wide Sort; the
+    # posting filter runs before aggregation; nothing cartesian
+    check(
+        "bm25_topk_take_ordered",
+        allq["bm25_search"](spark, SF_DIR),
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34c. Temperature mix sampling: rates come from a bounded groupBy,
     # the corpus-side filter pass joins the tiny rate dim by BROADCAST
     # (the corpus must not shuffle for a sampling decision), nothing
