@@ -957,9 +957,8 @@ _BM25_B = 0.75
 _BM25_TOPK = 10
 
 
-@_q(
-    "bm25_search",
-    f"""
+#: bm25_search oracle, as a variable so hybrid_search_rrf can embed it
+_BM25_SQL = f"""
     WITH d AS (
       SELECT doc_id, string_split(trim(text), ' ') AS toks
       FROM documents WHERE trim(text) != ''
@@ -995,8 +994,10 @@ _BM25_TOPK = 10
     GROUP BY doc_id
     ORDER BY score_fp DESC, doc_id ASC
     LIMIT {_BM25_TOPK}
-    """,
-)
+    """
+
+
+@_q("bm25_search", _BM25_SQL)
 def bm25_search(spark, sf_dir):
     """BM25 lexical retrieval — top-{_BM25_TOPK} documents for a fixed
     {len(_BM25_QUERY)}-term query (Robertson/Lucene BM25: positive
@@ -4046,9 +4047,8 @@ def lang_id_ngram(spark, sf_dir):
 # ------------------------------------------------------- similarity search
 
 
-@_q(
-    "topk_cosine",
-    """
+#: topk_cosine oracle, as a variable so hybrid_search_rrf can embed it
+_TOPK_COSINE_SQL = """
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT e.vec_id,
            round(
@@ -4059,8 +4059,10 @@ def lang_id_ngram(spark, sf_dir):
     WHERE e.vec_id != 0
     ORDER BY cosine DESC, e.vec_id ASC
     LIMIT 10
-    """,
-)
+    """
+
+
+@_q("topk_cosine", _TOPK_COSINE_SQL)
 def topk_cosine(spark, sf_dir):
     """Brute-force cosine top-k against the vec_id=0 query vector, all
     JVM-side (zip_with/aggregate — no Python UDF)."""
@@ -4080,6 +4082,82 @@ def topk_cosine(spark, sf_dir):
         joined.select("vec_id", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(10)
+    )
+
+
+#: RRF smoothing constant (Cormack et al. 2009's k=60)
+_RRF_K = 60.0
+
+
+@_q(
+    "hybrid_search_rrf",
+    f"""
+    WITH lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+      FROM ({_BM25_SQL})
+    ),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS dense_rank
+      FROM ({_TOPK_COSINE_SQL})
+    )
+    SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+           CAST(l.lex_rank AS BIGINT) AS lex_rank,
+           CAST(d.dense_rank AS BIGINT) AS dense_rank,
+           CAST(round(
+             (CASE WHEN l.lex_rank IS NULL THEN 0.0
+                   ELSE 1.0 / ({_RRF_K!r} + l.lex_rank) END
+              + CASE WHEN d.dense_rank IS NULL THEN 0.0
+                     ELSE 1.0 / ({_RRF_K!r} + d.dense_rank) END)
+             * {float(_TFIDF_FP)!r}) AS BIGINT) AS rrf_fp
+    FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid-search fusion: reciprocal-rank fusion (Cormack et al.
+    2009, k={_RRF_K:.0f}) of the BM25 lexical list and the dense cosine
+    list — the standard way retrieval stacks combine a keyword index
+    with an embedding index without score calibration, since RRF only
+    consumes RANKS.  Composes two already-green operators
+    (`bm25_search`, `topk_cosine`) end-to-end, the way `curated_corpus_
+    neardup` composes the dedup stages.
+
+    Scale shape: all the heavy lifting (posting filter + heap top-k;
+    brute cosine + heap top-k) lives in the two retrieval branches,
+    which keep their own scale-safe plans; the fusion itself — rank
+    windows, full-outer join, RRF arithmetic — runs on 2×k rows.  The
+    fused score is fixed-pointed (round(x·2^20) BIGINT) like the other
+    ranking operators, and rank ties break on doc_id in both engines."""
+    from pyspark.sql import Window
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score_fp").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    dense = topk_cosine(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("dense_rank"),
+    )
+    contrib = lambda c: F.when(c.isNull(), 0.0).otherwise(
+        F.lit(1.0) / (F.lit(_RRF_K) + c)
+    )
+    return lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            (contrib(F.col("lex_rank")) + contrib(F.col("dense_rank")))
+            * float(_TFIDF_FP)
+        )
+        .cast("long")
+        .alias("rrf_fp"),
     )
 
 

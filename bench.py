@@ -236,6 +236,7 @@ def main():
         "tf_idf_keywords",
         "temperature_mix_sample",
         "bm25_search",
+        "hybrid_search_rrf",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -545,3 +545,54 @@ class TestBm25Search:
         per-partition heap), never a corpus-wide Sort+Limit."""
         plan = entry.bm25_search(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestHybridSearchRrf:
+    def test_ranks_complete_and_rrf_recomputable(self, spark):
+        """Each branch contributes a full 1..k rank list; every row's
+        rrf_fp equals the closed form recomputed from its own ranks; and
+        rows present in both lists dominate single-list rows with the
+        same best rank."""
+        rows = entry.hybrid_search_rrf(spark, SF_DIR).collect()
+        assert rows
+        lex = sorted(r.lex_rank for r in rows if r.lex_rank is not None)
+        den = sorted(r.dense_rank for r in rows if r.dense_rank is not None)
+        assert lex == list(range(1, entry._BM25_TOPK + 1))
+        assert den == list(range(1, 11))
+        for r in rows:
+            exp = 0.0
+            if r.lex_rank is not None:
+                exp += 1.0 / (entry._RRF_K + r.lex_rank)
+            if r.dense_rank is not None:
+                exp += 1.0 / (entry._RRF_K + r.dense_rank)
+            assert r.rrf_fp == round(exp * float(entry._TFIDF_FP)), r
+
+    def test_agrees_with_component_queries(self, spark):
+        """The fused ranks must be exactly the orderings of the two
+        component queries' results."""
+        lex_order = [
+            r.doc_id
+            for r in sorted(
+                entry.bm25_search(spark, SF_DIR).collect(),
+                key=lambda r: (-r.score_fp, r.doc_id),
+            )
+        ]
+        dense_order = [
+            r.vec_id
+            for r in sorted(
+                entry.topk_cosine(spark, SF_DIR).collect(),
+                key=lambda r: (-r.cosine, r.vec_id),
+            )
+        ]
+        got_lex = {
+            r.doc_id: r.lex_rank
+            for r in entry.hybrid_search_rrf(spark, SF_DIR).collect()
+            if r.lex_rank is not None
+        }
+        got_dense = {
+            r.doc_id: r.dense_rank
+            for r in entry.hybrid_search_rrf(spark, SF_DIR).collect()
+            if r.dense_rank is not None
+        }
+        assert got_lex == {d: i + 1 for i, d in enumerate(lex_order)}
+        assert got_dense == {d: i + 1 for i, d in enumerate(dense_order)}

@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34e. Hybrid RRF fusion: both retrieval branches keep their heap
+    # top-k shape inside the fused plan (TakeOrderedAndProject twice);
+    # the fusion join runs on 2xk rows, nothing cartesian
+    check(
+        "hybrid_rrf_heap_branches",
+        allq["hybrid_search_rrf"](spark, SF_DIR),
+        must=[r"TakeOrderedAndProject[\s\S]*TakeOrderedAndProject"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34d. BM25: global top-k must be TakeOrderedAndProject (per-
     # partition heap + driver merge), never a corpus-wide Sort; the
     # posting filter runs before aggregation; nothing cartesian
