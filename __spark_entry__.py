@@ -4088,6 +4088,78 @@ def topk_cosine(spark, sf_dir):
 #: RRF smoothing constant (Cormack et al. 2009's k=60)
 _RRF_K = 60.0
 
+#: semantic-decontamination cosine threshold (the near-dup family's 0.4)
+_DSEM_TAU = 0.4
+
+
+@_q(
+    "decontam_semantic",
+    f"""
+    WITH bench AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS b FROM embeddings
+      WHERE vec_id % 23 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % 23 != 0
+    ),
+    cos AS (
+      SELECT c.vec_id,
+             max(list_dot_product(c.e, b.b)
+                 / (sqrt(list_dot_product(c.e, c.e))
+                    * sqrt(list_dot_product(b.b, b.b)))) AS mc
+      FROM corpus c, bench b GROUP BY 1
+    )
+    SELECT vec_id,
+           round(mc, 4) AS max_benchmark_cos,
+           round(mc, 4) >= {_DSEM_TAU!r} AS contaminated
+    FROM cos
+    """,
+)
+def decontam_semantic(spark, sf_dir):
+    """Semantic benchmark decontamination — the embedding-space
+    complement to `decontam_ngram_overlap`'s lexical check: a candidate
+    training document is contaminated if its embedding's cosine to ANY
+    benchmark embedding reaches the near-dup threshold
+    ({_DSEM_TAU}), catching paraphrased/reformatted eval leakage that
+    exact n-grams miss.  Benchmark stand-in: the vec_id % 23 == 0 slice.
+
+    Scale shape: the benchmark suite is small and FIXED at any corpus
+    scale, so its vectors are inlined as literals (the IVF-codebook
+    pattern) and each corpus row computes its max-cosine MAP-SIDE — no
+    join, no aggregation, no shuffle; the corpus is scanned exactly once
+    (plan-gated map-only).  Arithmetic is forced to double on both
+    engines (the parquet column is float32) and the fold order matches
+    `topk_cosine`'s, so round-4 values hash-match."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bench = [
+        [float(x) for x in r.embedding]
+        for r in sorted(
+            emb.filter(F.col("vec_id") % 23 == 0).select("vec_id", "embedding").collect(),
+            key=lambda r: r.vec_id,
+        )
+    ]
+    e = F.col("embedding").cast("array<double>")
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm_e = F.sqrt(dot(e, e))
+    cos_terms = [
+        dot(e, F.lit(v)) / (norm_e * F.sqrt(dot(F.lit(v), F.lit(v))))
+        for v in bench
+    ]
+    mc = F.round(F.greatest(*cos_terms), 4)
+    return (
+        emb.filter(F.col("vec_id") % 23 != 0)
+        .select(
+            "vec_id",
+            mc.alias("max_benchmark_cos"),
+            (mc >= _DSEM_TAU).alias("contaminated"),
+        )
+    )
+
 
 @_q(
     "hybrid_search_rrf",

@@ -237,6 +237,7 @@ def main():
         "temperature_mix_sample",
         "bm25_search",
         "hybrid_search_rrf",
+        "decontam_semantic",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -596,3 +596,30 @@ class TestHybridSearchRrf:
         }
         assert got_lex == {d: i + 1 for i, d in enumerate(lex_order)}
         assert got_dense == {d: i + 1 for i, d in enumerate(dense_order)}
+
+
+class TestDecontamSemantic:
+    def test_python_replay_and_threshold(self, spark):
+        """Replay max-cosine in numpy double precision for a sample and
+        check the threshold flag; verify planted near-dups of benchmark
+        vectors are caught."""
+        import numpy as np
+
+        emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+               for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+        bench = [v for k, v in sorted(emb.items()) if k % 23 == 0]
+        rows = entry.decontam_semantic(spark, SF_DIR).collect()
+        assert len(rows) == sum(1 for k in emb if k % 23 != 0)
+        flagged = 0
+        for r in rows:
+            v = emb[r.vec_id]
+            mc = max(
+                float(v @ b) / (float(np.sqrt(v @ v)) * float(np.sqrt(b @ b)))
+                for b in bench
+            )
+            assert abs(r.max_benchmark_cos - mc) < 1e-3, r.vec_id
+            assert r.contaminated == (r.max_benchmark_cos >= entry._DSEM_TAU)
+            flagged += bool(r.contaminated)
+        # the corpus plants near-dup clusters, so some corpus vectors sit
+        # near benchmark members — and most of the corpus must survive
+        assert 0 < flagged < len(rows)

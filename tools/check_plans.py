@@ -464,6 +464,16 @@ def main():
         materialize=True,
     )
 
+    # 34f. Semantic decontamination: benchmark vectors are INLINED
+    # literals, so the corpus-side check is one scan with zero
+    # exchanges, zero joins, zero aggregates — pure map
+    check(
+        "decontam_semantic_map_only",
+        allq["decontam_semantic"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate"],
+    )
+
     # 34e. Hybrid RRF fusion: both retrieval branches keep their heap
     # top-k shape inside the fused plan (TakeOrderedAndProject twice);
     # the fusion join runs on 2xk rows, nothing cartesian
