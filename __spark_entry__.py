@@ -4091,6 +4091,93 @@ _RRF_K = 60.0
 #: semantic-decontamination cosine threshold (the near-dup family's 0.4)
 _DSEM_TAU = 0.4
 
+#: stop-posting document-frequency cap, as a fraction of the corpus: a
+#: token present in more than this share of documents keeps its df/ttf
+#: stats but gets NO posting list (the stop-list / skip-posting move
+#: real index builders make — hot postings are useless for retrieval
+#: and are exactly the skew that k2-bombs a naive build)
+_IIX_DF_CAP = 0.8
+
+
+@_q(
+    "inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+    tfd AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+    stats AS (
+      SELECT token, count(*) AS df, sum(tf) AS ttf FROM tfd GROUP BY 1
+    )
+    SELECT s.token,
+           CAST(s.df AS BIGINT) AS df,
+           CAST(s.ttf AS BIGINT) AS total_tf,
+           CASE WHEN s.df > {_IIX_DF_CAP!r} * n.n_docs THEN NULL
+                ELSE (SELECT list(t.doc_id ORDER BY t.doc_id)
+                      FROM tfd t WHERE t.token = s.token) END AS postings,
+           CASE WHEN s.df > {_IIX_DF_CAP!r} * n.n_docs THEN NULL
+                ELSE (SELECT list(t.tf ORDER BY t.doc_id)
+                      FROM tfd t WHERE t.token = s.token) END AS tfs
+    FROM stats s, n
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted-index construction — the index artifact a lexical search
+    stack materializes from the corpus: per token, document frequency,
+    total term frequency, and the posting list (doc_ids sorted ascending,
+    with the matching per-doc tf array), the input `bm25_search` would
+    serve from at query time.
+
+    The scale hazard of a naive build is posting-list skew: a stopword
+    present in ~every document accumulates a corpus-sized list in one
+    reducer (the same k2/hot-key failure the dedup edge-builders guard
+    against).  Guard: a document-frequency CAP at {_IIX_DF_CAP:.0%} of
+    the corpus — hot tokens keep their df/ttf statistics but get NULL
+    postings (the stop-list / skip-posting move production indexes
+    make).  The cap is enforced BEFORE list materialization: the hot-token
+    set (tiny by construction — it is bounded by 1/cap_fraction tokens)
+    is broadcast-anti-joined against the (token, doc) stream, so no hot
+    posting list is ever buffered (plan-gated).  Shuffles: the
+    map-combined (doc,token) tf groupBy, the token-level stats groupBy,
+    and the postings build over the capped stream only."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    n = tok.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfd = tok.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = (
+        tfd.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("ttf"))
+        .crossJoin(n)
+    )
+    hot = stats.filter(
+        F.col("df") > F.lit(_IIX_DF_CAP) * F.col("n_docs")
+    ).select("token")
+    postings = (
+        tfd.join(F.broadcast(hot), "token", "left_anti")
+        .groupBy("token")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf"))
+            ).alias("plist")
+        )
+        .select(
+            "token",
+            F.transform(F.col("plist"), lambda x: x.doc_id).alias("postings"),
+            F.transform(F.col("plist"), lambda x: x.tf).alias("tfs"),
+        )
+    )
+    return stats.join(postings, "token", "left").select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("total_tf"),
+        "postings",
+        "tfs",
+    )
+
 
 @_q(
     "decontam_semantic",

@@ -238,6 +238,7 @@ def main():
         "bm25_search",
         "hybrid_search_rrf",
         "decontam_semantic",
+        "inverted_index",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -623,3 +623,40 @@ class TestDecontamSemantic:
         # the corpus plants near-dup clusters, so some corpus vectors sit
         # near benchmark members — and most of the corpus must survive
         assert 0 < flagged < len(rows)
+
+
+class TestInvertedIndex:
+    def test_python_replay_and_cap(self, spark):
+        """Replay df/ttf/postings in plain Python; verify hot tokens
+        (df > cap fraction) carry stats but NULL postings, and cold
+        tokens carry exact sorted postings with matching tfs."""
+        from collections import Counter, defaultdict
+
+        docs = {
+            r.doc_id: r.text.strip().split(" ")
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        tfd: dict[str, dict[int, int]] = defaultdict(dict)
+        for doc_id, toks in docs.items():
+            for t, c in Counter(toks).items():
+                tfd[t][doc_id] = c
+        n_docs = len(docs)
+        rows = {r.token: r for r in entry.inverted_index(spark, SF_DIR).collect()}
+        assert set(rows) == set(tfd)
+        capped = uncapped = 0
+        for t, per_doc in tfd.items():
+            r = rows[t]
+            assert r.df == len(per_doc)
+            assert r.total_tf == sum(per_doc.values())
+            if len(per_doc) > entry._IIX_DF_CAP * n_docs:
+                assert r.postings is None and r.tfs is None, t
+                capped += 1
+            else:
+                ordered = sorted(per_doc)
+                assert r.postings == ordered, t
+                assert r.tfs == [per_doc[d] for d in ordered], t
+                uncapped += 1
+        # the guard must actually fire on this corpus AND leave real
+        # posting lists too, or the test proves nothing
+        assert capped > 0 and uncapped > 0

@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34g. Inverted index: the hot-token stop-posting guard must be a
+    # BROADCAST anti-join applied BEFORE list materialization (no hot
+    # posting list is ever buffered); nothing cartesian
+    check(
+        "inverted_index_df_cap_broadcast_anti",
+        allq["inverted_index"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin LeftAnti|BroadcastHashJoin.*LeftAnti"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34f. Semantic decontamination: benchmark vectors are INLINED
     # literals, so the corpus-side check is one scan with zero
     # exchanges, zero joins, zero aggregates — pure map
