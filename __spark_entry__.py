@@ -4091,6 +4091,155 @@ _RRF_K = 60.0
 #: semantic-decontamination cosine threshold (the near-dup family's 0.4)
 _DSEM_TAU = 0.4
 
+#: jaccard threshold for the incremental near-dup gate (the
+#: minhash_lsh_pairs convention)
+_INCND_TAU = 0.5
+
+#: one minhash+banding CTE chain (the minhash_lsh_pairs construction,
+#: parameterized by source CTE and id column) so the incremental
+#: near-dup oracle applies the IDENTICAL sketch to both snapshots
+def _sql_minhash_bands(src, idc):
+    return f"""
+    {src}minh0 AS (
+      SELECT {idc}, a,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 1, 8))  AS m0,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 9, 8))  AS m1,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 17, 8)) AS m2,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 25, 8)) AS m3
+      FROM {src}tok, range(4) r(a) GROUP BY {idc}, a
+    ),
+    {src}minh AS (
+      SELECT {idc}, a * 4 + lb.b AS k,
+             CASE lb.b WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS mh
+      FROM {src}minh0, range(4) lb(b)
+    ),
+    {src}bands AS (
+      SELECT {idc}, cast(k // 4 AS int) AS band,
+             md5(string_agg(mh, '' ORDER BY k)) AS bkey
+      FROM {src}minh GROUP BY {idc}, cast(k // 4 AS int)
+    )"""
+
+
+@_q(
+    "incremental_dedup_neardup",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 300 AND trim(text) != ''
+    ),
+    inc AS (
+      SELECT doc_id AS inc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text
+                  WHEN doc_id % 8 = 2 THEN text || ' update run2'
+                  ELSE regexp_replace(text, '(\\S+)', '\\1x', 'g') END AS text
+      FROM base WHERE doc_id % 2 = 0
+    ),
+    ctok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM base),
+    itok AS (SELECT DISTINCT inc_id, unnest(string_split(text, ' ')) AS token FROM inc),
+    {_sql_minhash_bands("c", "doc_id")},
+    {_sql_minhash_bands("i", "inc_id")},
+    cand AS (
+      SELECT DISTINCT i.inc_id, c.doc_id
+      FROM ibands i JOIN cbands c ON i.band = c.band AND i.bkey = c.bkey
+    ),
+    csizes AS (SELECT doc_id, count(*) AS n FROM ctok GROUP BY 1),
+    isizes AS (SELECT inc_id, count(*) AS n FROM itok GROUP BY 1),
+    inter AS (
+      SELECT cand.inc_id, cand.doc_id, count(*) AS shared
+      FROM cand
+      JOIN itok ON itok.inc_id = cand.inc_id
+      JOIN ctok ON ctok.doc_id = cand.doc_id AND ctok.token = itok.token
+      GROUP BY 1, 2
+    ),
+    dup AS (
+      SELECT DISTINCT inter.inc_id
+      FROM inter
+      JOIN isizes si ON si.inc_id = inter.inc_id
+      JOIN csizes sc ON sc.doc_id = inter.doc_id
+      WHERE CAST(shared AS DOUBLE) / (si.n + sc.n - shared) >= {_INCND_TAU!r}
+    )
+    SELECT inc_id AS doc_id,
+           inc_id NOT IN (SELECT inc_id FROM dup) AS admitted
+    FROM inc
+    """,
+)
+def incremental_dedup_neardup(spark, sf_dir):
+    """Incremental NEAR-duplicate dedup — the near-dup tier of the
+    recurring cross-snapshot job (`incremental_dedup_bloom` is its
+    exact-hash tier): a new crawl increment is admitted only if no
+    document in the existing corpus is a near-duplicate (token-set
+    Jaccard >= {_INCND_TAU}), catching re-crawls with boilerplate
+    drift/minor edits that byte-hash dedup misses.  The increment is
+    synthesized from the corpus at three edit intensities so expected
+    verdicts are closed-form: doc_id%4==0 byte-identical re-fetches
+    (Jaccard 1, rejected), %8==2 light edits (two appended tokens,
+    Jaccard ~0.9, rejected when LSH recalls them — the sketch's
+    published ~1-(1-j^4)^4 recall applies and the oracle replays the
+    identical sketch), %8==6 full rewrites (every token changed,
+    Jaccard ~0, admitted).
+
+    Scale shape: the corpus side's minhash band table is exactly what a
+    production pipeline PRECOMPUTES and stores with the snapshot (16
+    hashes, 4 bands — {{band, bkey}} rows, corpus-sized but narrow); the
+    increment (small by definition) builds its bands and equi-joins on
+    (band, bkey), so candidate verification touches only colliding
+    pairs; the Jaccard verify then runs per candidate.  The corpus text
+    is never self-joined and nothing is cartesian (plan-gated)."""
+    from readability_spark.spark import textops
+
+    base = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") < 300) & (F.trim(F.col("text")) != "")
+    )
+    corpus = base.select("doc_id", "text")
+    inc = base.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("inc_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.col("text"))
+        .when(
+            F.col("doc_id") % 8 == 2,
+            F.concat(F.col("text"), F.lit(" update run2")),
+        )
+        .otherwise(F.regexp_replace(F.col("text"), r"(\S+)", "$1x"))
+        .alias("text"),
+    )
+    ctok = textops.tokens(corpus)
+    itok = textops.tokens(inc, id_col="inc_id")
+    cbands = textops.lsh_bands(textops.minhash_signatures(ctok), id_col="doc_id")
+    ibands = textops.lsh_bands(
+        textops.minhash_signatures(itok, id_col="inc_id"), id_col="inc_id"
+    )
+    cand = ibands.join(cbands, ["band", "bkey"]).select("inc_id", "doc_id").distinct()
+    csizes = ctok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nc"))
+    isizes = itok.groupBy("inc_id").agg(F.count(F.lit(1)).alias("ni"))
+    ita = itok.withColumnRenamed("inc_id", "i_id")
+    cta = ctok.withColumnRenamed("doc_id", "c_id").withColumnRenamed(
+        "token", "c_token"
+    )
+    inter = (
+        cand.join(ita, F.col("inc_id") == F.col("i_id"))
+        .join(
+            cta,
+            (F.col("doc_id") == F.col("c_id"))
+            & (F.col("token") == F.col("c_token")),
+        )
+        .groupBy("inc_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("ni") + F.col("nc") - F.col("shared")
+    )
+    dup = (
+        inter.join(isizes, "inc_id")
+        .join(csizes, "doc_id")
+        .filter(jac >= _INCND_TAU)
+        .select("inc_id")
+        .distinct()
+    )
+    return inc.join(dup.withColumn("is_dup", F.lit(True)), "inc_id", "left").select(
+        F.col("inc_id").alias("doc_id"),
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("admitted"),
+    )
+
+
 #: stop-posting document-frequency cap, as a fraction of the corpus: a
 #: token present in more than this share of documents keeps its df/ttf
 #: stats but gets NO posting list (the stop-list / skip-posting move

@@ -239,6 +239,7 @@ def main():
         "hybrid_search_rrf",
         "decontam_semantic",
         "inverted_index",
+        "incremental_dedup_neardup",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

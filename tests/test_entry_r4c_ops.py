@@ -660,3 +660,52 @@ class TestInvertedIndex:
         # the guard must actually fire on this corpus AND leave real
         # posting lists too, or the test proves nothing
         assert capped > 0 and uncapped > 0
+
+
+class TestIncrementalDedupNeardup:
+    def test_edit_intensity_verdicts(self, spark):
+        """Closed-form expectations per synthesized edit class:
+        byte-identical re-fetches (%4==0) are always rejected (their
+        bands collide with their own corpus original at Jaccard 1);
+        full rewrites (%8==6) are always admitted (every token changed,
+        Jaccard ~0); light edits (%8==2) are rejected whenever LSH
+        recalls them — at Jaccard ~0.9 recall is ~0.99, so MOST must be
+        rejected."""
+        rows = {r.doc_id: r.admitted
+                for r in entry.incremental_dedup_neardup(spark, SF_DIR).collect()}
+        assert rows
+        identical = [d for d in rows if d % 4 == 0]
+        light = [d for d in rows if d % 8 == 2]
+        rewrites = [d for d in rows if d % 8 == 6]
+        assert identical and light and rewrites
+        assert all(not rows[d] for d in identical)
+        assert all(rows[d] for d in rewrites)
+        rejected_light = sum(1 for d in light if not rows[d])
+        assert rejected_light >= 0.8 * len(light), (rejected_light, len(light))
+
+    def test_brute_force_jaccard_agrees_on_rejections(self, spark):
+        """Every rejected increment doc must really have a corpus
+        near-dup at the threshold (LSH adds no false rejections: the
+        verify tier is exact Jaccard)."""
+        docs = {r.doc_id: set(r.text.strip().split(" "))
+                for r in entry._docs(spark, SF_DIR).collect()
+                if r.doc_id < 300 and r.text.strip()}
+        inc_sets = {}
+        for d, toks in docs.items():
+            if d % 2 != 0:
+                continue
+            if d % 4 == 0:
+                inc_sets[d] = set(toks)
+            elif d % 8 == 2:
+                inc_sets[d] = toks | {"update", "run2"}
+            else:
+                inc_sets[d] = {t + "x" for t in toks}
+        rows = {r.doc_id: r.admitted
+                for r in entry.incremental_dedup_neardup(spark, SF_DIR).collect()}
+        for d, admitted in rows.items():
+            if not admitted:
+                best = max(
+                    len(inc_sets[d] & c) / len(inc_sets[d] | c)
+                    for c in docs.values()
+                )
+                assert best >= entry._INCND_TAU, d

@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34h. Incremental near-dup: candidates come from the (band, bkey)
+    # equi-join between the increment's and the corpus's band tables —
+    # never a cartesian or pure-inequality join over documents
+    check(
+        "incremental_neardup_bucket_join",
+        allq["incremental_dedup_neardup"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        materialize=True,
+    )
+
     # 34g. Inverted index: the hot-token stop-posting guard must be a
     # BROADCAST anti-join applied BEFORE list materialization (no hot
     # posting list is ever buffered); nothing cartesian
