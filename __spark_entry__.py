@@ -4091,6 +4091,67 @@ _RRF_K = 60.0
 #: semantic-decontamination cosine threshold (the near-dup family's 0.4)
 _DSEM_TAU = 0.4
 
+@_q(
+    "source_data_card",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / count(*), 4)
+             AS dup_rate,
+           round(CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+                 / count(*), 4) AS en_share,
+           round(CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE)
+                 / count(*), 2) AS mean_doc_tokens
+    FROM documents
+    WHERE trim(text) != ''
+    GROUP BY source
+    """,
+)
+def source_data_card(spark, sf_dir):
+    """Per-source data card — the dataset-datasheet row every corpus
+    release publishes per subset (Dolma/FineWeb-style): document, token
+    and character volume, exact-dup rate (1 - unique-content share),
+    language share, and mean document length, in ONE pass.
+
+    Scale shape: a single groupBy(source) whose output is
+    source-cardinality-bounded; every metric except the distinct-content
+    count is map-side combinable, and that one is Spark's standard
+    two-phase partial distinct (the (source, md5) stream is the only
+    extra shuffle volume).  This is the reporting query a 10^12-doc
+    pipeline runs after every snapshot to catch source drift before
+    training sees it."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    ntok = F.size(F.split(F.trim(F.col("text")), " "))
+    return (
+        docs.select(
+            "source",
+            ntok.alias("ntok"),
+            "n_chars",
+            F.md5(F.col("text")).alias("h"),
+            (F.col("lang") == "en").cast("int").alias("is_en"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("h").cast("long").alias("n_unique_texts"),
+            F.round(
+                1.0 - F.countDistinct("h").cast("double") / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+            F.round(
+                F.sum("is_en").cast("double") / F.count(F.lit(1)), 4
+            ).alias("en_share"),
+            F.round(
+                F.sum("ntok").cast("double") / F.count(F.lit(1)), 2
+            ).alias("mean_doc_tokens"),
+        )
+    )
+
+
 #: jaccard threshold for the incremental near-dup gate (the
 #: minhash_lsh_pairs convention)
 _INCND_TAU = 0.5

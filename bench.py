@@ -240,6 +240,7 @@ def main():
         "decontam_semantic",
         "inverted_index",
         "incremental_dedup_neardup",
+        "source_data_card",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -709,3 +709,28 @@ class TestIncrementalDedupNeardup:
                     for c in docs.values()
                 )
                 assert best >= entry._INCND_TAU, d
+
+
+class TestSourceDataCard:
+    def test_python_replay_matches_exactly(self, spark):
+        """Replay every card metric in plain Python."""
+        from collections import defaultdict
+
+        per: dict[str, list] = defaultdict(list)
+        for r in entry._docs(spark, SF_DIR).collect():
+            if r.text.strip():
+                per[r.source].append(r)
+        got = {r.source: r for r in entry.source_data_card(spark, SF_DIR).collect()}
+        assert set(got) == set(per)
+        for src, rows in per.items():
+            g = got[src]
+            ntoks = [len(r.text.strip().split(" ")) for r in rows]
+            uniq = len({r.text for r in rows})
+            assert g.n_docs == len(rows)
+            assert g.n_tokens == sum(ntoks)
+            assert g.n_chars == sum(r.n_chars for r in rows)
+            assert g.n_unique_texts == uniq
+            assert g.dup_rate == round(1.0 - uniq / len(rows), 4)
+            en = sum(1 for r in rows if r.lang == "en")
+            assert g.en_share == round(en / len(rows), 4)
+            assert g.mean_doc_tokens == round(sum(ntoks) / len(rows), 2)

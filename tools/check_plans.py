@@ -464,6 +464,16 @@ def main():
         materialize=True,
     )
 
+    # 34i. Source data card: ONE aggregate over the corpus (partial+
+    # final HashAggregate for the sums, two-phase for the distinct) —
+    # no join anywhere in the datasheet query
+    check(
+        "source_data_card_single_agg",
+        allq["source_data_card"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Scan parquet"],
+        must_not=[r"Join", r"CartesianProduct", r"Window"],
+    )
+
     # 34h. Incremental near-dup: candidates come from the (band, bkey)
     # equi-join between the increment's and the corpus's band tables —
     # never a cartesian or pure-inequality join over documents
