@@ -1512,7 +1512,7 @@ def repeated_ngram_spans_winnowed(spark, sf_dir):
 
 @_q(
     "repeated_span_ranges",
-    f"""
+    _SPAN_RANGES_SQL := f"""
     WITH d AS (
       SELECT doc_id,
              string_split(trim(text) || {_SPAN_FOOTER_SQL}, ' ') AS arr
@@ -1576,6 +1576,105 @@ def repeated_span_ranges(spark, sf_dir):
             F.min("n_docs").alias("n_docs_min"),
         )
         .select("doc_id", "span_start", "span_len", "n_docs_min")
+    )
+
+
+@_q(
+    "repeated_span_scrub",
+    f"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             string_split(trim(text) || {_SPAN_FOOTER_SQL}, ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    spans2 AS (SELECT * FROM ({_SPAN_RANGES_SQL})),
+    cov AS (
+      SELECT DISTINCT doc_id, unnest(generate_series(
+               span_start, span_start + span_len - 1)) AS p
+      FROM spans2
+    ),
+    pos AS (
+      SELECT doc_id, CAST(u.i AS INT) AS p, arr[u.i] AS tok, len(arr) AS n
+      FROM docs2, unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    kept AS (
+      SELECT pos.doc_id, pos.p, pos.tok
+      FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+      WHERE cov.p IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS scrubbed
+      FROM kept GROUP BY doc_id
+    )
+    -- fully-covered documents (entire text is a repeated span) must
+    -- still be emitted, scrubbed to empty — hence the outer join
+    SELECT d.doc_id,
+           CAST(len(d.arr) - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens,
+           coalesce(a.scrubbed, '') AS scrubbed_text
+    FROM docs2 d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def repeated_span_scrub(spark, sf_dir):
+    """The ACTION step of Lee et al. 2022 exact-substring dedup —
+    `repeated_span_ranges` finds the maximal cross-document repeated
+    spans, this operator REMOVES them: every token position covered by a
+    repeated span is cut and the survivors are re-joined, emitting the
+    scrubbed text plus the removed-token count (identify -> act, the
+    same closure `pii_scrub` provides for PII).  Policy: spans are
+    removed from EVERY document carrying them (the conservative
+    boilerplate-strip variant; Lee et al.'s keep-one-occurrence policy
+    is a one-line change — exempt the span rows where doc_id equals the
+    span's canonical min-doc — at the cost of carrying that canon id
+    through the island aggregation).
+
+    Scale shape: on top of the span-ranges plan, the scrub itself is a
+    per-doc span-list collect (spans are ~1000x fewer rows than grams)
+    joined back to the corpus on doc_id, and the cut is a MAP-SIDE
+    array filter (exists() over the collected span list per token
+    index) — overlapping islands are handled naturally since coverage
+    is evaluated per position.  Documents with no repeated span pass
+    through with an empty span list (left join), never dropped."""
+    spans = repeated_span_ranges(spark, sf_dir)
+    agg = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_len")).alias("spans")
+    )
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" copyright notice all material of "),
+            F.col("source"),
+            F.lit(" syndication network may not be reproduced without permission"),
+        ),
+        " ",
+    )
+    joined = docs.select("doc_id", arr.alias("arr")).join(agg, "doc_id", "left")
+    spans_col = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:int,span_len:int>>"),
+    )
+    # 1-based token position p is covered iff some span s has
+    # s.span_start <= p < s.span_start + s.span_len
+    kept = F.filter(
+        F.zip_with(
+            F.col("arr"),
+            F.sequence(F.lit(1), F.size("arr")),
+            lambda t, p: F.struct(t.alias("tok"), p.alias("p")),
+        ),
+        lambda x: ~F.exists(
+            spans_col,
+            lambda s: (x["p"] >= s["span_start"])
+            & (x["p"] < s["span_start"] + s["span_len"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        (F.size("arr") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(F.transform(kept, lambda x: x["tok"]), " ").alias(
+            "scrubbed_text"
+        ),
     )
 
 

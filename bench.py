@@ -241,6 +241,7 @@ def main():
         "inverted_index",
         "incremental_dedup_neardup",
         "source_data_card",
+        "repeated_span_scrub",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

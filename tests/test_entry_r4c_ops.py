@@ -734,3 +734,38 @@ class TestSourceDataCard:
             en = sum(1 for r in rows if r.lang == "en")
             assert g.en_share == round(en / len(rows), 4)
             assert g.mean_doc_tokens == round(sum(ntoks) / len(rows), 2)
+
+
+class TestRepeatedSpanScrub:
+    def test_consistent_with_span_ranges(self, spark):
+        """Scrubbed output must agree with the span-ranges operator:
+        removed-token count equals the per-doc union of span coverage,
+        the footer is gone from every doc, and docs whose entire text is
+        a repeated span come back empty rather than dropped."""
+        spans: dict[int, list] = {}
+        for r in entry.repeated_span_ranges(spark, SF_DIR).collect():
+            spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_len))
+        docs = {
+            r.doc_id: (r.text.strip() + " copyright notice all material of "
+                       + r.source + " syndication network may not be"
+                       " reproduced without permission").split(" ")
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        got = {r.doc_id: r
+               for r in entry.repeated_span_scrub(spark, SF_DIR).collect()}
+        assert set(got) == set(docs)
+        empty = 0
+        for doc_id, toks in docs.items():
+            covered = set()
+            for start, length in spans.get(doc_id, []):
+                covered.update(range(start, start + length))
+            expect = [t for i, t in enumerate(toks, 1) if i not in covered]
+            r = got[doc_id]
+            assert r.scrubbed_text == " ".join(expect), doc_id
+            assert r.n_removed_tokens == len(toks) - len(expect)
+            assert "syndication" not in r.scrubbed_text
+            empty += not r.scrubbed_text
+        # exact-dup fixtures are fully covered -> scrubbed to empty
+        assert empty > 0

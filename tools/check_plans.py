@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34j. Repeated-span scrub: the cut itself must be a map-side array
+    # filter over the collected span list — no per-position explode of
+    # the corpus, no cartesian; the only joins are doc_id-keyed
+    check(
+        "repeated_span_scrub_mapside_cut",
+        allq["repeated_span_scrub"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        materialize=True,
+    )
+
     # 34i. Source data card: ONE aggregate over the corpus (partial+
     # final HashAggregate for the sums, two-phase for the distinct) —
     # no join anywhere in the datasheet query
