@@ -4493,7 +4493,7 @@ def inverted_index(spark, sf_dir):
     f"""
     WITH bench AS (
       SELECT CAST(embedding AS DOUBLE[]) AS b FROM embeddings
-      WHERE vec_id % 23 = 0
+      WHERE vec_id % 23 = 0 AND vec_id < 500
     ),
     corpus AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -4518,7 +4518,11 @@ def decontam_semantic(spark, sf_dir):
     training document is contaminated if its embedding's cosine to ANY
     benchmark embedding reaches the near-dup threshold
     ({_DSEM_TAU}), catching paraphrased/reformatted eval leakage that
-    exact n-grams miss.  Benchmark stand-in: the vec_id % 23 == 0 slice.
+    exact n-grams miss.  Benchmark stand-in: the vec_id % 23 == 0 slice,
+    capped at vec_id < 500 — a benchmark suite is FIXED SIZE no matter
+    how large the corpus grows, and the cap keeps the inlined expression
+    tree (and the per-row compute, which is O(|bench| x dim)) constant
+    at every scale factor.
 
     Scale shape: the benchmark suite is small and FIXED at any corpus
     scale, so its vectors are inlined as literals (the IVF-codebook
@@ -4531,7 +4535,9 @@ def decontam_semantic(spark, sf_dir):
     bench = [
         [float(x) for x in r.embedding]
         for r in sorted(
-            emb.filter(F.col("vec_id") % 23 == 0).select("vec_id", "embedding").collect(),
+            emb.filter((F.col("vec_id") % 23 == 0) & (F.col("vec_id") < 500))
+            .select("vec_id", "embedding")
+            .collect(),
             key=lambda r: r.vec_id,
         )
     ]
