@@ -2526,6 +2526,129 @@ def text_normalize(spark, sf_dir):
     )
 
 
+@_q(
+    "llm_corpus_pipeline",
+    f"""
+    WITH n AS (
+      SELECT doc_id, {_tn_sql("text")} AS norm FROM documents
+    ),
+    corpus AS (SELECT * FROM n WHERE doc_id % 23 != 0),
+    g AS (
+      SELECT doc_id, norm,
+             len(string_split(norm, ' ')) AS n_words,
+             min(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
+      FROM corpus
+    ),
+    tok AS (SELECT doc_id, string_split(norm, ' ') AS arr FROM n),
+    ng AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(arr) - 2),
+               i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3]))
+               AS gram
+      FROM tok WHERE len(arr) >= 4
+    ),
+    bench AS (SELECT DISTINCT md5(gram) AS h FROM ng WHERE doc_id % 23 = 0),
+    contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, md5(gram) AS h FROM ng WHERE doc_id % 23 != 0) c
+      JOIN bench USING (h)
+    )
+    SELECT g.doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(g.norm, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS text,
+           CAST(g.n_words AS BIGINT) AS n_words
+    FROM g
+    WHERE g.n_words >= 30
+      AND g.canonical_id = g.doc_id
+      AND g.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def llm_corpus_pipeline(spark, sf_dir):
+    """The full curation pipeline as ONE query — the run a training-data
+    team submits nightly, chaining five already-green stage families
+    end-to-end: (1) unicode/whitespace NORMALIZATION (the
+    `text_normalize` chain, applied before hashing so byte noise can't
+    split dup groups), (2) Gopher word-count QUALITY GATE (>= 30 words),
+    (3) exact-dup CANONICALIZATION via the `curated_corpus` one-exchange
+    window (min doc_id per md5 of normalized text), (4) lexical
+    benchmark DECONTAMINATION (the `decontam_ngram_overlap` 4-gram probe
+    — benchmark slice doc_id % 23 == 0 is EXTERNAL to the corpus), and
+    (5) PII SCRUBBING of the survivors.  Output: the publishable corpus
+    (doc_id, scrubbed text, n_words).
+
+    Scale audit (the point of composing in one plan): the corpus crosses
+    exactly ONE corpus-wide exchange — the md5(norm) dedup window; the
+    gate and normalization are map-side; the benchmark gram set is a
+    bounded aggregate BROADCAST into the probe; the contaminated-id set
+    (small by construction) broadcast-anti-joins back; the scrub is a
+    map over survivors.  No sort-merge join, nothing cartesian
+    (plan-gated: llm_pipeline_one_corpus_exchange)."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    norm = F.col("text")
+    for a, b in _TN_PAIRS:
+        norm = F.replace(norm, F.lit(a), F.lit(b))
+    norm = F.trim(F.regexp_replace(norm, _TN_WS_RE, " "))
+    n = docs.select("doc_id", norm.alias("norm"))
+    corpus = n.filter(F.col("doc_id") % 23 != 0)
+    bench_docs = n.filter(F.col("doc_id") % 23 == 0)
+
+    w = Window.partitionBy(F.md5(F.col("norm")))
+    g = corpus.select(
+        "doc_id",
+        "norm",
+        F.size(F.split(F.col("norm"), " ")).alias("n_words"),
+        F.min("doc_id").over(w).alias("canonical_id"),
+    )
+
+    arr = F.split(F.col("norm"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(arr, i),
+            F.element_at(arr, i + 1),
+            F.element_at(arr, i + 2),
+            F.element_at(arr, i + 3),
+        ),
+    )
+
+    def ngrams(df):
+        return (
+            df.filter(F.size(arr) >= 4)
+            .select("doc_id", F.explode(grams).alias("gram"))
+            .select("doc_id", F.md5(F.col("gram")).alias("h"))
+        )
+
+    bench = ngrams(bench_docs).select("h").distinct()
+    contaminated = (
+        ngrams(corpus).join(F.broadcast(bench), "h").select("doc_id").distinct()
+    )
+
+    survivors = (
+        g.filter((F.col("n_words") >= 30) & (F.col("canonical_id") == F.col("doc_id")))
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("norm"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return survivors.select(
+        "doc_id",
+        scrub.alias("text"),
+        F.col("n_words").cast("long").alias("n_words"),
+    )
+
+
 #: fasttext-style hashed linear model: 64 weight buckets, weights are
 #: EXACT multiples of 1/64 so double-precision sums are exact (binary
 #: fractions, magnitude << 2^53) and therefore order-independent — the

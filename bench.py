@@ -242,6 +242,7 @@ def main():
         "incremental_dedup_neardup",
         "source_data_card",
         "repeated_span_scrub",
+        "llm_corpus_pipeline",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -769,3 +769,49 @@ class TestRepeatedSpanScrub:
             empty += not r.scrubbed_text
         # exact-dup fixtures are fully covered -> scrubbed to empty
         assert empty > 0
+
+
+class TestLlmCorpusPipeline:
+    def test_agrees_with_component_stages(self, spark):
+        """The composed pipeline's survivor set and output text must be
+        derivable from its stage semantics replayed in plain Python."""
+        import hashlib
+        import re as _re
+
+        docs = {r.doc_id: r.text for r in entry._docs(spark, SF_DIR).collect()}
+
+        def norm(t):
+            for a, b in entry._TN_PAIRS:
+                t = t.replace(a, b)
+            return _re.sub(r"[\x00-\x1f ]+", " ", t).strip()
+
+        normed = {d: norm(t) for d, t in docs.items()}
+        corpus = {d: t for d, t in normed.items() if d % 23 != 0}
+        bench_grams = set()
+        for d, t in normed.items():
+            if d % 23 == 0:
+                toks = t.split(" ")
+                for i in range(len(toks) - 3):
+                    bench_grams.add(" ".join(toks[i:i + 4]))
+        canonical = {}
+        for d, t in corpus.items():
+            h = hashlib.md5(t.encode()).hexdigest()
+            canonical[h] = min(canonical.get(h, d), d)
+        expected = {}
+        for d, t in corpus.items():
+            toks = t.split(" ")
+            if len(toks) < 30:
+                continue
+            if canonical[hashlib.md5(t.encode()).hexdigest()] != d:
+                continue
+            if any(" ".join(toks[i:i + 4]) in bench_grams
+                   for i in range(len(toks) - 3)):
+                continue
+            s = _re.sub(entry._PII_EMAIL, "<EMAIL>", t)
+            s = _re.sub(entry._PII_IPV4, "<IP>", s)
+            s = _re.sub(entry._PII_PHONE, "<PHONE>", s)
+            expected[d] = (s, len(toks))
+        got = {r.doc_id: (r.text, r.n_words)
+               for r in entry.llm_corpus_pipeline(spark, SF_DIR).collect()}
+        assert got == expected
+        assert got  # the pipeline must let a real corpus through

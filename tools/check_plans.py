@@ -464,6 +464,20 @@ def main():
         materialize=True,
     )
 
+    # 34k. End-to-end pipeline flagship: the corpus crosses exactly ONE
+    # corpus-wide shuffle (the md5(norm) dedup window); the only other
+    # shuffle exchanges are the two bounded distincts (benchmark gram
+    # set, contaminated-id set); every join is broadcast; nothing
+    # sort-merge or cartesian
+    check(
+        "llm_pipeline_one_corpus_exchange",
+        allq["llm_corpus_pipeline"](spark, SF_DIR),
+        must=[r"Window", r"BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin", r"CartesianProduct"],
+        max_exchanges=3,
+        materialize=True,
+    )
+
     # 34j. Repeated-span scrub: the cut itself must be a map-side array
     # filter over the collected span list — no per-position explode of
     # the corpus, no cartesian; the only joins are doc_id-keyed
