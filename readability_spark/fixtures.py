@@ -629,6 +629,68 @@ def clean_links(i, rng):
     )
 
 
+#: CJK + accented vocabulary for the multibyte family (folha / lemonde /
+#: gmw / qq / hukumusume-style fixtures are non-ASCII end to end)
+_CJK_WORDS = [
+    "数据", "处理", "系统", "研究", "文章", "内容", "分析", "结果",
+    "método", "análise", "conteúdo", "résumé", "déjà", "naïve",
+    "情報", "技術", "記事", "新聞",
+]
+
+
+def cjk_multibyte(i, rng):
+    """Reference folha/gmw/qq/hukumusume analog: a fully non-ASCII
+    article — CJK and accented paragraphs, multibyte title and byline —
+    pinning that UTF-8 survives parse -> extract -> Arrow -> parquet
+    byte-identically (a multibyte off-by-one anywhere shifts every
+    downstream byte)."""
+    w = lambda n: " ".join(rng.choice(_CJK_WORDS) for _ in range(n))  # noqa: E731
+    return (
+        f"<html><head><title>{w(4)} — 网站名</title>"
+        f'<meta name="author" content="张伟 Müller"/></head>'
+        f'<body><div id="content">'
+        f"<p>{w(14)}。</p><p>{w(16)}。</p><p>{w(12)}。</p>"
+        f"</div></body></html>"
+    )
+
+
+def pre_code_blocks(i, rng):
+    """Reference ietf-1/v8-blog analog: a technical document whose body
+    mixes prose paragraphs with <pre><code> blocks — pre content (with
+    significant whitespace and angle-bracket entities) must ride through
+    extraction verbatim rather than being collapsed like prose."""
+    code = (
+        "for (auto&amp; x : values) {\n"
+        f"    process(x, {i % 7});\n"
+        "}"
+    )
+    return (
+        f"<html><body><div id='main'>"
+        f"<p>{_words(rng, 13)}.</p>"
+        f"<pre><code>{code}</code></pre>"
+        f"<p>{_words(rng, 12)}.</p>"
+        f"<pre>  indented   literal\n\tblock {i}</pre>"
+        f"<p>{_words(rng, 11)}.</p>"
+        f"</div></body></html>"
+    )
+
+
+def definition_lists(i, rng):
+    """Reference archive-of-our-own/royal-road analog: a metadata
+    <dl> block (tags, ratings) ahead of the chaptered prose — the dl
+    must not beat the real content to top-candidate, and dt/dd text
+    joins the output under the html5 text rules."""
+    tags = "".join(
+        f"<dt>{_words(rng, 1)}:</dt><dd>{_words(rng, 2)}</dd>" for _ in range(4)
+    )
+    return (
+        f"<html><body><dl class='work-meta'>{tags}</dl>"
+        f"<div id='chapters'><h2>Chapter {i % 5 + 1}</h2>"
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 14)}.</p>"
+        f"<p>{_words(rng, 13)}.</p></div></body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -672,6 +734,9 @@ FAMILIES = [
     ("remove_extra_paragraphs", remove_extra_paragraphs),
     ("links_in_tables", links_in_tables),
     ("clean_links", clean_links),
+    ("cjk_multibyte", cjk_multibyte),
+    ("pre_code_blocks", pre_code_blocks),
+    ("definition_lists", definition_lists),
 ]
 
 

@@ -102,7 +102,7 @@ def test_every_family_present(fixture_rows):
     from readability_spark.fixtures import FAMILIES
 
     counts = Counter(r.family for r in fixture_rows)
-    assert len(counts) == len(FAMILIES) == 42
+    assert len(counts) == len(FAMILIES) == 45
     assert min(counts.values()) >= 3
 
 
