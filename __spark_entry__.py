@@ -4313,6 +4313,122 @@ _RRF_K = 60.0
 #: semantic-decontamination cosine threshold (the near-dup family's 0.4)
 _DSEM_TAU = 0.4
 
+#: BPE merge table, rank = list index (a deterministic stand-in for a
+#: trained merge list, the _QC_WEIGHTS convention — a real deployment
+#: swaps in the tokenizer's merges.txt).  Apply policy on BOTH engines:
+#: repeatedly merge the LEFTMOST occurrence of the best-ranked adjacent
+#: pair until none applies (equivalent to the standard greedy BPE apply).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "r"), ("a", "r"), ("s", "t"), ("o", "n"), ("l", "e"),
+    ("c", "h"), ("s", "c"), ("u", "e"), ("al", "ue"),
+]
+_BPE_RANK = {p: r for r, p in enumerate(_BPE_MERGES)}
+
+#: DuckDB rank expression over an adjacent symbol pair
+_BPE_RANK_SQL = "CASE " + " ".join(
+    f"WHEN syms[i]='{a}' AND syms[i+1]='{b}' THEN {r}"
+    for r, (a, b) in enumerate(_BPE_MERGES)
+) + " END"
+
+
+@_q(
+    "bpe_tokenize",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    tfd AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT token FROM tfd),
+    bpe AS (
+      SELECT token, string_split_regex(token, '') AS syms FROM vocab
+      UNION ALL
+      SELECT token,
+             list_slice(syms, 1, p - 1) || [syms[p] || syms[p+1]]
+               || list_slice(syms, p + 2, len(syms))
+      FROM (
+        SELECT token, syms,
+               list_position(rk,
+                 list_min(list_filter(rk, x -> x IS NOT NULL))) AS p
+        FROM (
+          SELECT token, syms,
+                 list_transform(range(1, len(syms)),
+                                i -> {_BPE_RANK_SQL}) AS rk
+          FROM bpe)
+      ) WHERE p IS NOT NULL
+    ),
+    pieces AS (
+      SELECT token, arg_min(len(syms), len(syms)) AS n_pieces
+      FROM bpe GROUP BY token
+    )
+    SELECT tfd.doc_id,
+           CAST(sum(tfd.cnt) AS BIGINT) AS n_words,
+           CAST(sum(tfd.cnt * p.n_pieces) AS BIGINT) AS n_bpe_pieces
+    FROM tfd JOIN pieces p USING (token)
+    GROUP BY tfd.doc_id
+    """,
+)
+def bpe_tokenize(spark, sf_dir):
+    """Real BPE tokenization apply — the tokenizer-aware token counting a
+    training pipeline needs for packing/budgeting (whitespace counts
+    under-estimate transformer sequence lengths; `sequence_pack` and
+    compute budgeting want BPE piece counts).  Greedy byte-pair apply:
+    repeatedly merge the leftmost occurrence of the best-ranked adjacent
+    pair from the merge table until none applies (the standard
+    tokenizer apply loop; the inlined table is a deterministic stand-in
+    for a trained merges.txt).
+
+    The showcase here is the SCALE SHAPE of tokenization on Spark: the
+    apply loop is genuinely iterative — inexpressible as a fixed-depth
+    column expression — so it runs as Arrow-batched Python
+    (mapInPandas), but over the DISTINCT VOCABULARY, not the corpus:
+    every occurrence of a word BPEs identically, so the expensive loop
+    touches |vocab| rows and the corpus-sized work is one join of the
+    (doc, token, count) stream against the piece-count dim plus a
+    map-combinable groupBy.  At 10^12 documents the vocabulary is
+    ~10^8 — the Python stage stays a rounding error while the corpus
+    never enters Python at all.  The DuckDB oracle replays the apply
+    loop as a recursive CTE with the identical leftmost-best policy."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    )
+    tfd = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tfd.select("token").distinct()
+
+    def apply_bpe(batches):
+        for pdf in batches:
+            out = []
+            for tkn in pdf["token"]:
+                syms = list(tkn)
+                while True:
+                    best = bp = None
+                    for i in range(len(syms) - 1):
+                        r = _BPE_RANK.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bp = r, i
+                    if bp is None:
+                        break
+                    syms[bp : bp + 2] = [syms[bp] + syms[bp + 1]]
+                out.append((tkn, len(syms)))
+            yield pd.DataFrame(out, columns=["token", "n_pieces"])
+
+    pieces = vocab.mapInPandas(apply_bpe, "token string, n_pieces int")
+    return (
+        tfd.join(pieces, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias(
+                "n_bpe_pieces"
+            ),
+        )
+    )
+
+
 @_q(
     "source_data_card",
     """

@@ -243,6 +243,7 @@ def main():
         "source_data_card",
         "repeated_span_scrub",
         "llm_corpus_pipeline",
+        "bpe_tokenize",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

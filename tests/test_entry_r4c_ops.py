@@ -815,3 +815,40 @@ class TestLlmCorpusPipeline:
                for r in entry.llm_corpus_pipeline(spark, SF_DIR).collect()}
         assert got == expected
         assert got  # the pipeline must let a real corpus through
+
+
+class TestBpeTokenize:
+    def test_python_replay_matches_exactly(self, spark):
+        """Replay the greedy leftmost-best apply loop per document in
+        plain Python and require identical counts; BPE pieces can never
+        exceed whitespace words' character totals nor undercut the word
+        count (each word is >= 1 piece)."""
+        def bpe_len(word):
+            syms = list(word)
+            while True:
+                best = bp = None
+                for i in range(len(syms) - 1):
+                    r = entry._BPE_RANK.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, bp = r, i
+                if bp is None:
+                    return len(syms)
+                syms[bp:bp + 2] = [syms[bp] + syms[bp + 1]]
+
+        docs = {
+            r.doc_id: r.text.strip().split(" ")
+            for r in entry._docs(spark, SF_DIR).collect()
+            if r.text.strip()
+        }
+        got = {r.doc_id: r for r in entry.bpe_tokenize(spark, SF_DIR).collect()}
+        assert set(got) == set(docs)
+        merged_somewhere = False
+        for doc_id, words in docs.items():
+            r = got[doc_id]
+            expect = sum(bpe_len(w) for w in words)
+            assert r.n_words == len(words)
+            assert r.n_bpe_pieces == expect, doc_id
+            assert len(words) <= expect <= sum(len(w) for w in words)
+            merged_somewhere |= expect < sum(len(w) for w in words)
+        # the merge table must actually fire on this corpus
+        assert merged_somewhere

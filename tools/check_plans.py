@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34l. BPE tokenize: the Python stage (ArrowEvalPython/MapInPandas)
+    # must sit on the DISTINCT-vocabulary branch, and the corpus joins
+    # the piece dim without anything cartesian
+    check(
+        "bpe_python_on_vocab_only",
+        allq["bpe_tokenize"](spark, SF_DIR),
+        must=[r"MapInPandas|ArrowEvalPython", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        materialize=True,
+    )
+
     # 34k. End-to-end pipeline flagship: the corpus crosses exactly ONE
     # corpus-wide shuffle (the md5(norm) dedup window); the only other
     # shuffle exchanges are the two bounded distincts (benchmark gram
