@@ -4430,6 +4430,73 @@ def bpe_tokenize(spark, sf_dir):
 
 
 @_q(
+    "crawl_diff_report",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
+      FROM documents WHERE doc_id % 7 != 0
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS verdict
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+    """,
+)
+def crawl_diff_report(spark, sf_dir):
+    """Snapshot-to-snapshot diff report — the delta audit run between two
+    crawls before reprocessing: classify every url as added / removed /
+    changed via a full-outer join on the key with content-hash compare,
+    emitting ONLY the delta (unchanged rows — the overwhelming majority
+    at 10^12 docs — are filtered out so the report is delta-sized).  The
+    new snapshot is synthesized from the old with closed-form churn
+    (doc_id%7==0 removed, %5==0 changed, %13==0 spawns an added doc) so
+    the oracle expectations are exact.
+
+    Scale shape: ONE co-partitioned full-outer join on the key — with
+    both snapshots bucketed/partitioned by url (as the extraction job
+    already writes them), this is a zero-extra-shuffle merge; content
+    compare is on precomputed hashes, never text."""
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", F.md5("text").alias("h"))
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+                ).otherwise(F.col("text"))
+            ).alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.md5(F.col("doc_id").cast("string")).alias("h"),
+            )
+        )
+    )
+    o = old.withColumnRenamed("doc_id", "o_id").withColumnRenamed("h", "o_h")
+    n = new.withColumnRenamed("doc_id", "n_id").withColumnRenamed("h", "n_h")
+    j = o.join(n, o["o_id"] == n["n_id"], "full_outer")
+    return j.filter(
+        F.col("o_id").isNull() | F.col("n_id").isNull() | (F.col("o_h") != F.col("n_h"))
+    ).select(
+        F.coalesce(F.col("o_id"), F.col("n_id")).alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("verdict"),
+    )
+
+
+@_q(
     "source_data_card",
     """
     SELECT source,

@@ -244,6 +244,7 @@ def main():
         "repeated_span_scrub",
         "llm_corpus_pipeline",
         "bpe_tokenize",
+        "crawl_diff_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -852,3 +852,22 @@ class TestBpeTokenize:
             merged_somewhere |= expect < sum(len(w) for w in words)
         # the merge table must actually fire on this corpus
         assert merged_somewhere
+
+
+class TestCrawlDiffReport:
+    def test_closed_form_verdicts(self, spark):
+        """The synthesized churn is closed-form: %7==0 removed, %5==0
+        (and kept) changed, %13==0 spawns an added id; everything else
+        is unchanged and must NOT appear."""
+        n_docs = entry._docs(spark, SF_DIR).count()
+        got = {r.doc_id: r.verdict
+               for r in entry.crawl_diff_report(spark, SF_DIR).collect()}
+        expected = {}
+        for d in range(n_docs):
+            if d % 7 == 0:
+                expected[d] = "removed"
+            elif d % 5 == 0:
+                expected[d] = "changed"
+            if d % 13 == 0:
+                expected[d + 100000] = "added"
+        assert got == expected

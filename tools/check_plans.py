@@ -464,6 +464,16 @@ def main():
         materialize=True,
     )
 
+    # 34m. Crawl diff: one key-equi full-outer join over hashes (SMJ on
+    # doc_id is the correct shape here — both sides corpus-sized), no
+    # nested-loop/cartesian, text never joined
+    check(
+        "crawl_diff_single_outer_join",
+        allq["crawl_diff_report"](spark, SF_DIR),
+        must=[r"FullOuter"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+    )
+
     # 34l. BPE tokenize: the Python stage (ArrowEvalPython/MapInPandas)
     # must sit on the DISTINCT-vocabulary branch, and the corpus joins
     # the piece dim without anything cartesian
