@@ -4858,7 +4858,14 @@ def decontam_semantic(spark, sf_dir):
         dot(e, F.lit(v)) / (norm_e * F.sqrt(dot(F.lit(v), F.lit(v))))
         for v in bench
     ]
-    mc = F.round(F.greatest(*cos_terms), 4)
+    # degenerate corpora: an empty benchmark slice means nothing can be
+    # contaminated (NULL max-cos); one vector needs no greatest()
+    if not cos_terms:
+        mc = F.lit(None).cast("double")
+    elif len(cos_terms) == 1:
+        mc = F.round(cos_terms[0], 4)
+    else:
+        mc = F.round(F.greatest(*cos_terms), 4)
     return (
         emb.filter(F.col("vec_id") % 23 != 0)
         .select(

@@ -254,6 +254,14 @@ def collect_codebook(centroids: DataFrame, id_col="vec_id", vec_col="embedding")
 
 
 def _codebook_array(codebook):
+    if not codebook:
+        # empty corpus -> empty codebook: a typed empty literal keeps the
+        # downstream lambda field extractions analyzable (F.array() alone
+        # is array<void>, which they reject), so the whole query degrades
+        # to an empty result instead of an AnalysisException
+        return F.lit([]).cast(
+            "array<struct<cid:bigint,cvec:array<double>>>"
+        )
     return F.array(
         *[
             F.struct(
