@@ -5234,6 +5234,58 @@ def stream_dedup_exact_q(spark, sf_dir):
 
 
 @_q(
+    "stream_dedup_against_corpus",
+    """
+    WITH corpus AS (SELECT md5(text) AS text_hash FROM documents),
+    increment AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text
+                  ELSE text || ' update run2' END AS text
+      FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id, md5(text) AS text_hash
+    FROM increment
+    WHERE md5(text) NOT IN (SELECT text_hash FROM corpus)
+    """,
+)
+def stream_dedup_against_corpus_q(spark, sf_dir):
+    """STREAM-STATIC join coverage — the streaming form of the recurring
+    incremental-dedup job: a new-crawl increment arrives as a STREAM and
+    is admitted only if its content hash is absent from the STATIC
+    existing-corpus snapshot.  Same synthesized increment (and therefore
+    the same closed-form oracle) as the batch `incremental_dedup_bloom`:
+    %4==0 re-fetches dedup away, the rest changed and pass.  Streaming
+    forbids a stream-static left anti, so the helper uses the supported
+    left-outer + null-filter shape; the static key table is planned once
+    per micro-batch (broadcast when small); at scale it is replaced by
+    the corpus Bloom bitmap exactly as the batch job does."""
+    from readability_spark.streaming import stream_static_anti_corpus
+
+    base = _stream_workdir(sf_dir, "sscorpus")
+    docs = _docs(spark, sf_dir)
+    corpus = docs.select(F.md5(F.col("text")).alias("text_hash"))
+    increment = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 4 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" update run2"))
+            )
+        ).alias("text_hash"),
+    )
+    increment.write.mode("overwrite").parquet(str(base / "input"))
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return stream_static_anti_corpus(
+        spark,
+        str(base / "input"),
+        corpus,
+        "doc_id bigint, text_hash string",
+        "text_hash",
+        f"ss_dedup_{sf_tag}",
+        str(base / "checkpoint"),
+    )
+
+
+@_q(
     "stream_dedup_watermarked",
     f"""
     SELECT {_SQL_URL} AS url FROM documents

@@ -276,3 +276,41 @@ def run_domain_sessions(spark, input_dir, query_name, gap_seconds=120, timeout_s
     )
     _await_or_stop(query, timeout_secs)
     return spark.table(query_name)
+
+
+def stream_static_anti_corpus(
+    spark, input_dir, static_df, schema, key, query_name, checkpoint_dir,
+    timeout_secs=600,
+):
+    """Stream-static join: dedup a streaming increment against a STATIC
+    corpus — the streaming form of the recurring incremental-dedup job
+    (batch analogs: incremental_dedup_bloom / incremental_dedup_neardup).
+    Structured Streaming does not allow a stream-static left ANTI join,
+    so the supported shape is used: left OUTER against the marked static
+    key set, then filter where the static side is null — semantically
+    the anti-join, executed per micro-batch with the static side planned
+    once (broadcast when small, shuffled hash lookup otherwise).
+
+    At 10^12 docs the static side is the snapshot's key table (hash per
+    url/content) — at that scale the production variant swaps the raw
+    key set for its Bloom bitmap (textops.bloom_bitmap) exactly as the
+    batch job does, testing membership map-side per micro-batch."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    marked = (
+        static_df.select(key).distinct().withColumn("_in_corpus", F.lit(True))
+    )
+    new = (
+        stream.join(marked, key, "left_outer")
+        .filter(F.col("_in_corpus").isNull())
+        .drop("_in_corpus")
+    )
+    query = (
+        new.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_stop(query, timeout_secs)
+    return spark.table(query_name)
