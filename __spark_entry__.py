@@ -410,8 +410,8 @@ def cms_token_counts(spark, sf_dir):
     membership filter: when a pipeline needs token/feature frequencies
     only to THRESHOLD on them (stopword guards, df caps, heavy-hitter
     detection), the vocabulary-sized exact aggregate can be replaced by a
-    fixed {_CMS_D}x{_CMS_W}-cell sketch.  Estimates are served MAP-SIDE
-    from the inlined sketch (min over the {_CMS_D} lanes' cells — never
+    fixed 4x1024-cell sketch.  Estimates are served MAP-SIDE
+    from the inlined sketch (min over the 4 lanes' cells — never
     an undercount, overcounts bounded by collisions); the demo probes the
     distinct tokens of doc_id < 10 and emits est vs true vs overcount so
     the CMS guarantee is visible — and the whole construction is
@@ -419,7 +419,7 @@ def cms_token_counts(spark, sf_dir):
     sketch cell-for-cell.
 
     Scale: the sketch build is ONE map-side-combined groupBy whose output
-    is capped at {_CMS_D}*{_CMS_W} rows regardless of corpus size (the
+    is capped at 4*1024 rows regardless of corpus size (the
     bounded-output shape bloom_bitmap uses; the lane explode is narrow);
     the truth branch exists only for the demo comparison and touches just
     probe-matching tokens (broadcast semi-probe).  At 10^12 documents the
@@ -555,7 +555,7 @@ def hll_distinct_texts(spark, sf_dir):
     document content hashes — the cardinality member of the sketch trio
     (Bloom = membership, count-min = frequency, HLL = distinct count):
     "how many unique documents does this crawl hold" answered from
-    {_HLL_M} bytes per shard instead of a corpus-wide distinct.
+    64 bytes per shard instead of a corpus-wide distinct.
 
     Spark ships this as `approx_count_distinct` (HLL++, the production
     call); this query builds the classic construction EXPLICITLY and
@@ -564,14 +564,14 @@ def hll_distinct_texts(spark, sf_dir):
     DuckDB oracle replays it register-for-register, and so the MERGE step
     is visible: per-source partial sketches combine by register-wise MAX
     — the associative union that lets 10^12 documents be sketched shard
-    by shard, stored as {_HLL_M} small integers each, and unioned later
+    by shard, stored as 64 small integers each, and unioned later
     without touching the data again.  Output: per-source rows AND the
     merged 'ALL' row, est vs true (small sources sit on the
     linear-counting branch, the merged row on the raw-estimator branch,
     so both published corrections are exercised).
 
     Scale: ONE map-side-combined groupBy over (source, register) whose
-    output is <= n_sources x {_HLL_M} rows regardless of corpus size;
+    output is <= n_sources x 64 rows regardless of corpus size;
     everything downstream (merge, estimate, demo truth join) runs on
     those few rows.  The truth branch exists only for the demo
     comparison."""
@@ -780,7 +780,7 @@ _TFIDF_FP = 1 << 20
     """,
 )
 def tf_idf_keywords(spark, sf_dir):
-    """TF-IDF keyword extraction — top-{_TFIDF_K} most characteristic
+    """TF-IDF keyword extraction — top-5 most characteristic
     tokens per document (smoothed idf = ln((N+1)/(df+1)) + 1, the
     sklearn convention), the classic lexical-signature operator behind
     keyword tagging, topic bucketing and cheap doc-similarity features in
@@ -999,9 +999,9 @@ _BM25_SQL = f"""
 
 @_q("bm25_search", _BM25_SQL)
 def bm25_search(spark, sf_dir):
-    """BM25 lexical retrieval — top-{_BM25_TOPK} documents for a fixed
-    {len(_BM25_QUERY)}-term query (Robertson/Lucene BM25: positive
-    smoothed idf, k1={_BM25_K1}, b={_BM25_B} length normalization).  The
+    """BM25 lexical retrieval — top-10 documents for a fixed
+    3-term query (Robertson/Lucene BM25: positive
+    smoothed idf, k1=1.2, b=0.75 length normalization).  The
     lexical counterpart to the embedding retrieval family (`topk_cosine`
     brute force, `ann_ivf_topk`, `lsh_cosine_pairs`): together they are
     the hybrid-search pair a corpus-inspection workflow actually runs.
@@ -1012,7 +1012,7 @@ def bm25_search(spark, sf_dir):
     map-combinable groupBy, df/avgdl are bounded aggregates joined back
     by broadcast, and the global top-k is orderBy+limit — Spark compiles
     that to TakeOrderedAndProject (a per-partition heap + driver merge of
-    {_BM25_TOPK}-row samples), NOT a corpus sort.  Determinism: each
+    10-row samples), NOT a corpus sort.  Determinism: each
     term's score is fixed-pointed (round(x*2^20) BIGINT) BEFORE the
     per-doc sum, so the final score is an order-independent integer sum
     — no float-accumulation-order hazard — and ties break on doc_id."""
@@ -1326,6 +1326,22 @@ _SPAN_FOOTER_SQL = (
 )
 
 
+def _span_footer_arr():
+    """Spark twin of the _SPAN_FOOTER_SQL token array: trim(text) plus the
+    per-source boilerplate footer, split on spaces — ONE definition shared
+    by repeated_ngram_spans / _winnowed / repeated_span_scrub so the three
+    operators (and their oracles) cannot drift apart on tokenization."""
+    return F.split(
+        F.concat(
+            F.trim(F.col("text")),
+            F.lit(" copyright notice all material of "),
+            F.col("source"),
+            F.lit(" syndication network may not be reproduced without permission"),
+        ),
+        " ",
+    )
+
+
 @_q(
     "repeated_ngram_spans",
     f"""
@@ -1368,15 +1384,7 @@ def repeated_ngram_spans(spark, sf_dir):
     10^12-doc variant samples gram positions (winnowing,
     textops.winnow_fingerprints) before the aggregation."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    arr = F.split(
-        F.concat(
-            F.trim(F.col("text")),
-            F.lit(" copyright notice all material of "),
-            F.col("source"),
-            F.lit(" syndication network may not be reproduced without permission"),
-        ),
-        " ",
-    )
+    arr = _span_footer_arr()
     # guard: F.sequence(1, n) with n < 1 yields a DESCENDING sequence in
     # Spark (DuckDB's generate_series is empty), feeding invalid slice
     # starts — docs with fewer than 10 tokens have no 10-grams by
@@ -1460,15 +1468,7 @@ def repeated_ngram_spans_winnowed(spark, sf_dir):
     pairs shuffle for the two-phase countDistinct; the join-back
     broadcasts the repeated-hash set like repeated_ngram_spans."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    arr = F.split(
-        F.concat(
-            F.trim(F.col("text")),
-            F.lit(" copyright notice all material of "),
-            F.col("source"),
-            F.lit(" syndication network may not be reproduced without permission"),
-        ),
-        " ",
-    )
+    arr = _span_footer_arr()
     k, w = 10, 4
     grams = F.transform(
         F.sequence(F.lit(1), F.size(arr) - (k - 1)),
@@ -1641,15 +1641,7 @@ def repeated_span_scrub(spark, sf_dir):
         F.collect_list(F.struct("span_start", "span_len")).alias("spans")
     )
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    arr = F.split(
-        F.concat(
-            F.trim(F.col("text")),
-            F.lit(" copyright notice all material of "),
-            F.col("source"),
-            F.lit(" syndication network may not be reproduced without permission"),
-        ),
-        " ",
-    )
+    arr = _span_footer_arr()
     joined = docs.select("doc_id", arr.alias("arr")).join(agg, "doc_id", "left")
     spans_col = F.coalesce(
         F.col("spans"),
@@ -2477,6 +2469,14 @@ _TN_PAIRS = [
 _TN_WS_RE = r"[\x00-\x1f ]+"
 
 
+def _tn_col(col):
+    """Spark twin of _tn_sql: the normalization chain over a Column."""
+    norm = col
+    for a, b in _TN_PAIRS:
+        norm = F.replace(norm, F.lit(a), F.lit(b))
+    return F.trim(F.regexp_replace(norm, _TN_WS_RE, " "))
+
+
 def _tn_sql(expr):
     """DuckDB replay of the normalization chain over ``expr``."""
     sq = lambda s: s.replace("'", "''")  # noqa: E731
@@ -2514,10 +2514,7 @@ def text_normalize(spark, sf_dir):
     pure narrow projection, zero exchanges, whole-stage codegen
     (plan-gated: PLANS.md §text_normalize_map_only)."""
     raw = F.concat(F.lit(_TN_PRE), F.col("text"), F.lit(_TN_POST))
-    norm = raw
-    for a, b in _TN_PAIRS:
-        norm = F.replace(norm, F.lit(a), F.lit(b))
-    norm = F.trim(F.regexp_replace(norm, _TN_WS_RE, " "))
+    norm = _tn_col(raw)
     return _docs(spark, sf_dir).select(
         "doc_id",
         norm.alias("text_norm"),
@@ -2589,11 +2586,7 @@ def llm_corpus_pipeline(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
-    norm = F.col("text")
-    for a, b in _TN_PAIRS:
-        norm = F.replace(norm, F.lit(a), F.lit(b))
-    norm = F.trim(F.regexp_replace(norm, _TN_WS_RE, " "))
-    n = docs.select("doc_id", norm.alias("norm"))
+    n = docs.select("doc_id", _tn_col(F.col("text")).alias("norm"))
     corpus = n.filter(F.col("doc_id") % 23 != 0)
     bench_docs = n.filter(F.col("doc_id") % 23 == 0)
 
@@ -4336,8 +4329,14 @@ _BPE_RANK_SQL = "CASE " + " ".join(
     "bpe_tokenize",
     f"""
     WITH RECURSIVE t AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
-      FROM documents WHERE trim(text) != ''
+      -- token != '' : consecutive spaces produce empty tokens, which the
+      -- two engines BPE differently (Python list('') = [] vs DuckDB
+      -- string_split_regex('', '') = ['']) — and a zero-char token is
+      -- not a word anyway
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents WHERE trim(text) != ''
+      ) WHERE token != ''
     ),
     tfd AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
     vocab AS (SELECT DISTINCT token FROM tfd),
@@ -4395,7 +4394,7 @@ def bpe_tokenize(spark, sf_dir):
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
-    )
+    ).filter(F.col("token") != "")
     tfd = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = tfd.select("token").distinct()
 
@@ -4438,7 +4437,10 @@ def bpe_tokenize(spark, sf_dir):
              md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END) AS h
       FROM documents WHERE doc_id % 7 != 0
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      -- added docs live in a DISJOINT id namespace (negative ids):
+      -- an additive offset collides with real ids once the corpus
+      -- outgrows it, silently reclassifying adds as changes
+      SELECT -(doc_id + 1) AS doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
       FROM documents WHERE doc_id % 13 = 0
     )
     SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
@@ -4456,7 +4458,7 @@ def crawl_diff_report(spark, sf_dir):
     emitting ONLY the delta (unchanged rows — the overwhelming majority
     at 10^12 docs — are filtered out so the report is delta-sized).  The
     new snapshot is synthesized from the old with closed-form churn
-    (doc_id%7==0 removed, %5==0 changed, %13==0 spawns an added doc) so
+    (doc_id%7==0 removed, %5==0 changed, %13==0 spawns an added doc in the disjoint negative-id namespace) so
     the oracle expectations are exact.
 
     Scale shape: ONE co-partitioned full-outer join on the key — with
@@ -4477,7 +4479,7 @@ def crawl_diff_report(spark, sf_dir):
         )
         .unionByName(
             docs.filter(F.col("doc_id") % 13 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"),
+                (-(F.col("doc_id") + 1)).alias("doc_id"),
                 F.md5(F.col("doc_id").cast("string")).alias("h"),
             )
         )
@@ -4634,7 +4636,7 @@ def incremental_dedup_neardup(spark, sf_dir):
     recurring cross-snapshot job (`incremental_dedup_bloom` is its
     exact-hash tier): a new crawl increment is admitted only if no
     document in the existing corpus is a near-duplicate (token-set
-    Jaccard >= {_INCND_TAU}), catching re-crawls with boilerplate
+    Jaccard >= 0.5), catching re-crawls with boilerplate
     drift/minor edits that byte-hash dedup misses.  The increment is
     synthesized from the corpus at three edit intensities so expected
     verdicts are closed-form: doc_id%4==0 byte-identical re-fetches
@@ -4646,7 +4648,7 @@ def incremental_dedup_neardup(spark, sf_dir):
 
     Scale shape: the corpus side's minhash band table is exactly what a
     production pipeline PRECOMPUTES and stores with the snapshot (16
-    hashes, 4 bands — {{band, bkey}} rows, corpus-sized but narrow); the
+    hashes, 4 bands — (band, bkey) rows, corpus-sized but narrow); the
     increment (small by definition) builds its bands and equi-joins on
     (band, bkey), so candidate verification touches only colliding
     pairs; the Jaccard verify then runs per candidate.  The corpus text
@@ -4748,7 +4750,7 @@ def inverted_index(spark, sf_dir):
     The scale hazard of a naive build is posting-list skew: a stopword
     present in ~every document accumulates a corpus-sized list in one
     reducer (the same k2/hot-key failure the dedup edge-builders guard
-    against).  Guard: a document-frequency CAP at {_IIX_DF_CAP:.0%} of
+    against).  Guard: a document-frequency CAP at 80% of
     the corpus — hot tokens keep their df/ttf statistics but get NULL
     postings (the stop-list / skip-posting move production indexes
     make).  The cap is enforced BEFORE list materialization: the hot-token
@@ -4823,7 +4825,7 @@ def decontam_semantic(spark, sf_dir):
     complement to `decontam_ngram_overlap`'s lexical check: a candidate
     training document is contaminated if its embedding's cosine to ANY
     benchmark embedding reaches the near-dup threshold
-    ({_DSEM_TAU}), catching paraphrased/reformatted eval leakage that
+    (0.4), catching paraphrased/reformatted eval leakage that
     exact n-grams miss.  Benchmark stand-in: the vec_id % 23 == 0 slice,
     capped at vec_id < 500 — a benchmark suite is FIXED SIZE no matter
     how large the corpus grows, and the cap keeps the inlined expression
@@ -4858,22 +4860,22 @@ def decontam_semantic(spark, sf_dir):
         dot(e, F.lit(v)) / (norm_e * F.sqrt(dot(F.lit(v), F.lit(v))))
         for v in bench
     ]
-    # degenerate corpora: an empty benchmark slice means nothing can be
-    # contaminated (NULL max-cos); one vector needs no greatest()
+    # degenerate corpora: with an EMPTY benchmark slice max-cosine is
+    # undefined for every row — the oracle's cross-join-with-empty-bench
+    # yields zero rows, so the Spark side must too (not NULL-scored
+    # rows); one benchmark vector needs no greatest()
     if not cos_terms:
         mc = F.lit(None).cast("double")
     elif len(cos_terms) == 1:
         mc = F.round(cos_terms[0], 4)
     else:
         mc = F.round(F.greatest(*cos_terms), 4)
-    return (
-        emb.filter(F.col("vec_id") % 23 != 0)
-        .select(
-            "vec_id",
-            mc.alias("max_benchmark_cos"),
-            (mc >= _DSEM_TAU).alias("contaminated"),
-        )
+    out = emb.filter(F.col("vec_id") % 23 != 0).select(
+        "vec_id",
+        mc.alias("max_benchmark_cos"),
+        (mc >= _DSEM_TAU).alias("contaminated"),
     )
+    return out.filter(F.lit(False)) if not cos_terms else out
 
 
 @_q(
@@ -4903,7 +4905,7 @@ def decontam_semantic(spark, sf_dir):
 )
 def hybrid_search_rrf(spark, sf_dir):
     """Hybrid-search fusion: reciprocal-rank fusion (Cormack et al.
-    2009, k={_RRF_K:.0f}) of the BM25 lexical list and the dense cosine
+    2009, k=60) of the BM25 lexical list and the dense cosine
     list — the standard way retrieval stacks combine a keyword index
     with an embedding index without score calibration, since RRF only
     consumes RANKS.  Composes two already-green operators

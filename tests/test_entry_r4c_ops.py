@@ -857,8 +857,9 @@ class TestBpeTokenize:
 class TestCrawlDiffReport:
     def test_closed_form_verdicts(self, spark):
         """The synthesized churn is closed-form: %7==0 removed, %5==0
-        (and kept) changed, %13==0 spawns an added id; everything else
-        is unchanged and must NOT appear."""
+        (and kept) changed, %13==0 spawns an added id in the disjoint
+        negative-id namespace (an additive offset would collide with
+        real ids at scale); everything else must NOT appear."""
         n_docs = entry._docs(spark, SF_DIR).count()
         got = {r.doc_id: r.verdict
                for r in entry.crawl_diff_report(spark, SF_DIR).collect()}
@@ -869,7 +870,7 @@ class TestCrawlDiffReport:
             elif d % 5 == 0:
                 expected[d] = "changed"
             if d % 13 == 0:
-                expected[d + 100000] = "added"
+                expected[-(d + 1)] = "added"
         assert got == expected
 
 

@@ -25,7 +25,10 @@ from readability_spark.fixtures import build_rows, golden_for
 from readability_spark.spark.job import extract_articles, run_job
 from readability_spark.spark.session import get_spark
 
-N_ROWS = 300  # 42 families: 135 non-plain rows cycle 41 others, >=3 each
+# 45 families: 9/20 of rows cycle the 44 non-plain families, so the >=3-
+# per-family invariant needs N_ROWS*9/20 >= 3*44 = 132; 320 gives 144
+# (slack for two more families before this needs raising again)
+N_ROWS = 320
 
 
 @pytest.fixture(scope="module")
