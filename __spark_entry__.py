@@ -4499,6 +4499,78 @@ def crawl_diff_report(spark, sf_dir):
 
 
 @_q(
+    "quantile_gated_filter",
+    f"""
+    WITH d AS (SELECT doc_id, n_chars AS s FROM documents),
+    n AS (SELECT count(*) AS n FROM d),
+    hist AS (
+      SELECT CAST(floor(s / {_HQ_W}) AS BIGINT) AS b, count(*) AS c
+      FROM d GROUP BY 1
+    ),
+    cum AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM hist),
+    tgt AS (SELECT CAST(ceil(0.5 * n) AS BIGINT) AS k FROM n),
+    pick AS (
+      SELECT t.k, min(c.b) AS b FROM tgt t
+      JOIN cum c ON c.cum >= t.k GROUP BY t.k
+    ),
+    thr AS (
+      SELECT p.b * {_HQ_W}.0
+             + (p.k - (c.cum - c.c)) * {_HQ_W}.0 / c.c AS threshold
+      FROM pick p JOIN cum c ON c.b = p.b
+    )
+    SELECT d.doc_id,
+           CAST(d.s AS BIGINT) AS n_chars,
+           thr.threshold
+    FROM d, thr WHERE d.s >= thr.threshold
+    """,
+)
+def quantile_gated_filter(spark, sf_dir):
+    """Data-derived percentile gating — the histogram-quantile sketch put
+    to WORK: 'keep the top half of the corpus by length' where the
+    threshold is not a hardcoded constant but the sketch's interpolated
+    median, computed from the data in the same query (the composition a
+    curation pipeline actually runs: sketch pass -> derive gate -> filter
+    pass, the two-scan shape of `temperature_mix_sample`).
+
+    Scale shape: the sketch is the same bounded-output histogram
+    aggregate as `histogram_quantiles` (≤128 bin rows, mergeable);
+    the derived one-row threshold broadcast-joins into the corpus-side
+    filter, so the corpus is scanned twice and never shuffled.  At
+    10^12 docs this replaces the corpus-global sort an exact-percentile
+    gate would need."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.col("n_chars").alias("s"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    hist = docs.groupBy(F.floor(F.col("s") / _HQ_W).alias("b")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("b", "c", F.sum("c").over(w_b).alias("cum"))
+    tgt = n.select(F.ceil(F.lit(0.5) * F.col("n")).cast("long").alias("k"))
+    pick = (
+        tgt.join(cum, cum["cum"] >= tgt["k"])
+        .groupBy("k")
+        .agg(F.min("b").alias("b"))
+    )
+    thr = pick.join(cum, "b").select(
+        (
+            F.col("b") * float(_HQ_W)
+            + (F.col("k") - (F.col("cum") - F.col("c"))) * float(_HQ_W) / F.col("c")
+        ).alias("threshold")
+    )
+    return (
+        docs.crossJoin(F.broadcast(thr))
+        .filter(F.col("s") >= F.col("threshold"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("n_chars"),
+            "threshold",
+        )
+    )
+
+
+@_q(
     "source_data_card",
     """
     SELECT source,

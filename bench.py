@@ -245,6 +245,7 @@ def main():
         "llm_corpus_pipeline",
         "bpe_tokenize",
         "crawl_diff_report",
+        "quantile_gated_filter",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

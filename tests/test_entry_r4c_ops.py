@@ -891,3 +891,23 @@ class TestStreamDedupAgainstCorpus:
             for r in entry.incremental_dedup_bloom(spark, SF_DIR).collect()
         )
         assert rows == batch
+
+
+class TestQuantileGatedFilter:
+    def test_gate_uses_sketch_median_and_keeps_half(self, spark):
+        """The gate threshold must equal the histogram sketch's q=0.5
+        estimate (from histogram_quantiles), and the kept set must be
+        exactly the docs at/above it — roughly half the corpus (within
+        one bin's worth of mass)."""
+        hq = {r.q: r for r in entry.histogram_quantiles(spark, SF_DIR).collect()}
+        rows = entry.quantile_gated_filter(spark, SF_DIR).collect()
+        assert rows
+        thr = {r.threshold for r in rows}
+        assert thr == {hq[0.5].est_value}
+        docs = {r.doc_id: r.n_chars for r in
+                entry._docs(spark, SF_DIR).collect()}
+        expect = {d for d, s in docs.items() if s >= hq[0.5].est_value}
+        assert {r.doc_id for r in rows} == expect
+        assert abs(len(rows) - len(docs) / 2) <= 0.1 * len(docs)
+        for r in rows:
+            assert r.n_chars >= r.threshold

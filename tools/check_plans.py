@@ -464,6 +464,17 @@ def main():
         materialize=True,
     )
 
+    # 34n. Quantile-gated filter: the derived one-row threshold must
+    # BROADCAST into the corpus-side filter (the corpus never shuffles
+    # for a gating decision), nothing sort-merge
+    check(
+        "quantile_gate_broadcast_threshold",
+        allq["quantile_gated_filter"](spark, SF_DIR),
+        must=[r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        must_not=[r"SortMergeJoin"],
+        materialize=True,
+    )
+
     # 34m. Crawl diff: one key-equi full-outer join over hashes (SMJ on
     # doc_id is the correct shape here — both sides corpus-sized), no
     # nested-loop/cartesian, text never joined
