@@ -315,7 +315,8 @@ def url_dedup_normalized(spark, sf_dir):
                AS gram
       FROM t WHERE len(arr) >= 4
     ),
-    bench AS (SELECT DISTINCT md5(gram) AS h FROM g WHERE doc_id % 23 = 0),
+    bench AS (SELECT DISTINCT md5(gram) AS h FROM g
+              WHERE doc_id % 23 = 0 AND doc_id < 500),
     cand  AS (SELECT DISTINCT doc_id, md5(gram) AS h FROM g WHERE doc_id % 23 != 0)
     SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_ngrams
     FROM cand JOIN bench USING (h)
@@ -325,9 +326,11 @@ def url_dedup_normalized(spark, sf_dir):
 def decontam_ngram_overlap(spark, sf_dir):
     """Benchmark decontamination for a training corpus: word-4-gram
     exact-overlap check of every candidate document against a benchmark set
-    (stand-in: the doc_id % 23 == 0 slice).  N-grams are hashed and the
-    benchmark hash set — small and fixed by construction at any corpus
-    scale — is broadcast, so the check is a map-only probe plus one
+    (stand-in: the doc_id % 23 == 0 slice, CAPPED at doc_id < 500 — a real
+    decontamination list is a fixed artifact like MMLU/GSM8K, not a corpus
+    fraction, and the cap is what makes the broadcast legitimate at any
+    corpus scale).  N-grams are hashed and the fixed-size benchmark hash
+    set is broadcast, so the check is a map-only probe plus one
     map-side-combined groupBy; the corpus itself is never shuffled."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     arr = F.split(F.trim(F.col("text")), " ")
@@ -350,7 +353,11 @@ def decontam_ngram_overlap(spark, sf_dir):
             .distinct()
         )
 
-    bench = ngrams(docs.filter(F.col("doc_id") % 23 == 0)).select("h").distinct()
+    bench = (
+        ngrams(docs.filter((F.col("doc_id") % 23 == 0) & (F.col("doc_id") < 500)))
+        .select("h")
+        .distinct()
+    )
     cand = ngrams(docs.filter(F.col("doc_id") % 23 != 0))
     return (
         cand.join(F.broadcast(bench), "h")
@@ -1773,7 +1780,6 @@ def dedup_jaccard_pairs(spark, sf_dir):
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
     ).distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (
@@ -1781,14 +1787,29 @@ def dedup_jaccard_pairs(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is corpus-cardinality (one row per doc): semi-join it down to
+    # docs that actually appear in a candidate pair before the lookup
+    # joins, and let AQE pick the join strategy from the post-semi-join
+    # size instead of forcing a broadcast of a data-dependent frame
+    # (same guard as textops.minhash_lsh_pairs' verify tier).
+    cand_ids = (
+        inter.select(F.col("doc_a").alias("doc_id"))
+        .union(inter.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sizes = (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(cand_ids, "doc_id", "left_semi")
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -2544,7 +2565,8 @@ def text_normalize(spark, sf_dir):
                AS gram
       FROM tok WHERE len(arr) >= 4
     ),
-    bench AS (SELECT DISTINCT md5(gram) AS h FROM ng WHERE doc_id % 23 = 0),
+    bench AS (SELECT DISTINCT md5(gram) AS h FROM ng
+              WHERE doc_id % 23 = 0 AND doc_id < 500),
     contaminated AS (
       SELECT DISTINCT doc_id
       FROM (SELECT doc_id, md5(gram) AS h FROM ng WHERE doc_id % 23 != 0) c
@@ -2578,17 +2600,25 @@ def llm_corpus_pipeline(spark, sf_dir):
 
     Scale audit (the point of composing in one plan): the corpus crosses
     exactly ONE corpus-wide exchange — the md5(norm) dedup window; the
-    gate and normalization are map-side; the benchmark gram set is a
-    bounded aggregate BROADCAST into the probe; the contaminated-id set
-    (small by construction) broadcast-anti-joins back; the scrub is a
-    map over survivors.  No sort-merge join, nothing cartesian
-    (plan-gated: llm_pipeline_one_corpus_exchange)."""
+    gate and normalization are map-side; the benchmark gram set comes
+    from a FIXED-SIZE suite (doc_id < 500 cap), so its broadcast into the
+    probe is size-bounded at any corpus scale; the contaminated-id set's
+    size is the corpus' contamination rate — data-dependent — so its
+    anti-join back is left UNHINTED for AQE's runtime size decision; the
+    scrub is a map over survivors.  No sort-merge join on the corpus
+    side, nothing cartesian (plan-gated:
+    llm_pipeline_one_corpus_exchange)."""
     from pyspark.sql import Window
 
     docs = _docs(spark, sf_dir)
     n = docs.select("doc_id", _tn_col(F.col("text")).alias("norm"))
     corpus = n.filter(F.col("doc_id") % 23 != 0)
-    bench_docs = n.filter(F.col("doc_id") % 23 == 0)
+    # The benchmark suite is capped at a FIXED size (doc_id < 500 of the
+    # % 23 slice — same device as decontam_semantic's vec_id < 500 cap):
+    # a real decontamination list is a fixed artifact (MMLU/GSM8K/...),
+    # not a corpus fraction, and the cap is what makes F.broadcast(bench)
+    # below legitimate at any corpus scale.
+    bench_docs = n.filter((F.col("doc_id") % 23 == 0) & (F.col("doc_id") < 500))
 
     w = Window.partitionBy(F.md5(F.col("norm")))
     g = corpus.select(
@@ -2622,9 +2652,13 @@ def llm_corpus_pipeline(spark, sf_dir):
         ngrams(corpus).join(F.broadcast(bench), "h").select("doc_id").distinct()
     )
 
+    # contaminated's size is the corpus' contamination rate — data-
+    # dependent, so no forced broadcast: the anti-join shuffles once and
+    # AQE converts it to a broadcast anti-join at runtime when the
+    # measured id-set size is actually small.
     survivors = (
         g.filter((F.col("n_words") >= 30) & (F.col("canonical_id") == F.col("doc_id")))
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     scrub = F.regexp_replace(
         F.regexp_replace(
@@ -4122,22 +4156,27 @@ def curated_corpus_neardup(spark, sf_dir):
     Exchange audit (sf-independent shape): tokenization explode is
     narrow; minhash agg 1 exchange; banding agg 1; candidate bucket
     equi-join 1 (hash on (band, bkey)); verify join shuffles only
-    LSH-collision docs; CC is one exchange per graph-diameter round on
-    the (tiny) verified-pair set; the final survivors filter is a
-    broadcast-sized left join against cluster labels (|clusters| <<
-    corpus) + map-only scrub.  The corpus-sized side is shuffled a
-    bounded constant number of times; nothing quadratic outside verified
-    LSH collisions."""
+    LSH-collision docs (size lookups semi-joined down to the collision
+    set inside minhash_lsh_pairs); CC is one exchange per graph-diameter
+    round on the verified-pair set; the final survivors filter is an
+    UNHINTED left join against cluster labels — their count is the
+    corpus' dup rate (30-50% on real crawls), so the broadcast decision
+    is left to AQE's runtime size measurement — + map-only scrub.  The
+    corpus-sized side is shuffled a bounded constant number of times;
+    nothing quadratic outside verified LSH collisions."""
     docs = _docs(spark, sf_dir).filter(
         (F.col("doc_id") < 300) & (F.trim(F.col("text")) != "")
     )
     pairs = textops.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
     clusters = textops.connected_components(pairs, a_col="doc_a", b_col="doc_b")
-    # clusters holds one row per near-duplicate document (|clusters| <<
-    # corpus by construction — only LSH-verified dup members get labels),
-    # but it comes out of the iterative CC via localCheckpoint so AQE has
-    # no size stats for it: hint the broadcast explicitly.
-    survivors = docs.join(F.broadcast(clusters), "doc_id", "left").filter(
+    # clusters holds one row per near-duplicate document.  That count is
+    # DATA-DEPENDENT — real web crawls run 30-50% near-dup, so a forced
+    # F.broadcast() here would ship a corpus-fraction frame to the driver
+    # at 10^12 docs.  No hint: the join shuffles once and AQE converts it
+    # to a broadcast join at runtime when the measured label-frame size is
+    # genuinely small (localCheckpoint does not hide the exchange stats
+    # AQE reads).
+    survivors = docs.join(clusters, "doc_id", "left").filter(
         F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
     )
     planted = F.concat(
@@ -4786,6 +4825,14 @@ def incremental_dedup_neardup(spark, sf_dir):
 #: real index builders make — hot postings are useless for retrieval
 #: and are exactly the skew that k2-bombs a naive build)
 _IIX_DF_CAP = 0.8
+#: posting-list BLOCK width: postings are sharded into doc_id-range
+#: blocks of this many ids, so a single row's arrays hold at most
+#: _IIX_BLOCK entries NO MATTER the token's df — the structural bound
+#: the fractional stop-list alone cannot give (a token at 1% df over
+#: 10^12 docs is a 10^10-entry single-cell array without it).  256 here
+#: so the sf0.01/sf0.1 tables exercise multi-block tokens; a production
+#: index uses ~64k (Lucene-block-ish) — the plan shape is identical.
+_IIX_BLOCK = 256
 
 
 @_q(
@@ -4799,17 +4846,27 @@ _IIX_DF_CAP = 0.8
     tfd AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
     stats AS (
       SELECT token, count(*) AS df, sum(tf) AS ttf FROM tfd GROUP BY 1
+    ),
+    blocks AS (
+      SELECT token, doc_id // {_IIX_BLOCK} AS block_no,
+             list(doc_id ORDER BY doc_id) AS postings,
+             list(tf ORDER BY doc_id) AS tfs
+      FROM tfd GROUP BY 1, 2
     )
     SELECT s.token,
            CAST(s.df AS BIGINT) AS df,
            CAST(s.ttf AS BIGINT) AS total_tf,
-           CASE WHEN s.df > {_IIX_DF_CAP!r} * n.n_docs THEN NULL
-                ELSE (SELECT list(t.doc_id ORDER BY t.doc_id)
-                      FROM tfd t WHERE t.token = s.token) END AS postings,
-           CASE WHEN s.df > {_IIX_DF_CAP!r} * n.n_docs THEN NULL
-                ELSE (SELECT list(t.tf ORDER BY t.doc_id)
-                      FROM tfd t WHERE t.token = s.token) END AS tfs
+           CAST(b.block_no AS BIGINT) AS block_no,
+           b.postings, b.tfs
+    FROM stats s JOIN blocks b USING (token), n
+    WHERE s.df <= {_IIX_DF_CAP!r} * n.n_docs
+    UNION ALL
+    SELECT s.token,
+           CAST(s.df AS BIGINT) AS df,
+           CAST(s.ttf AS BIGINT) AS total_tf,
+           NULL AS block_no, NULL AS postings, NULL AS tfs
     FROM stats s, n
+    WHERE s.df > {_IIX_DF_CAP!r} * n.n_docs
     """,
 )
 def inverted_index(spark, sf_dir):
@@ -4821,16 +4878,25 @@ def inverted_index(spark, sf_dir):
 
     The scale hazard of a naive build is posting-list skew: a stopword
     present in ~every document accumulates a corpus-sized list in one
-    reducer (the same k2/hot-key failure the dedup edge-builders guard
-    against).  Guard: a document-frequency CAP at 80% of
-    the corpus — hot tokens keep their df/ttf statistics but get NULL
-    postings (the stop-list / skip-posting move production indexes
-    make).  The cap is enforced BEFORE list materialization: the hot-token
-    set (tiny by construction — it is bounded by 1/cap_fraction tokens)
-    is broadcast-anti-joined against the (token, doc) stream, so no hot
-    posting list is ever buffered (plan-gated).  Shuffles: the
-    map-combined (doc,token) tf groupBy, the token-level stats groupBy,
-    and the postings build over the capped stream only."""
+    reducer cell (the same k2/hot-key failure the dedup edge-builders
+    guard against).  TWO guards, because the fractional stop-list alone
+    is not a bound — a token at 1% df over 10^12 docs is a 10^10-entry
+    single-cell array, which no engine materializes:
+
+    1. STRUCTURAL: postings are block-sharded by doc_id range —
+       block_no = doc_id // _IIX_BLOCK — so one output row holds at most
+       _IIX_BLOCK (doc_id, tf) entries regardless of the token's df (a
+       token's index entry is its df/ttf stats plus df/_IIX_BLOCK-ish
+       block rows, the posting-block layout real indexes use on disk).
+    2. STOP-LIST: tokens above the 80% df cap keep their df/ttf stats
+       but get a single NULL-postings row (hot postings are useless for
+       retrieval); the hot set (bounded by 1/cap_fraction tokens) is
+       broadcast-anti-joined against the (token, doc) stream BEFORE any
+       list materialization (plan-gated).
+
+    Shuffles: the map-combined (doc,token) tf groupBy, the token-level
+    stats groupBy, and the (token, block) postings build over the capped
+    stream only — per-row and per-reducer state all bounded."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
@@ -4845,9 +4911,10 @@ def inverted_index(spark, sf_dir):
     hot = stats.filter(
         F.col("df") > F.lit(_IIX_DF_CAP) * F.col("n_docs")
     ).select("token")
-    postings = (
+    blocks = (
         tfd.join(F.broadcast(hot), "token", "left_anti")
-        .groupBy("token")
+        .withColumn("block_no", F.floor(F.col("doc_id") / _IIX_BLOCK))
+        .groupBy("token", "block_no")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("doc_id", "tf"))
@@ -4855,17 +4922,30 @@ def inverted_index(spark, sf_dir):
         )
         .select(
             "token",
+            F.col("block_no").cast("long").alias("block_no"),
             F.transform(F.col("plist"), lambda x: x.doc_id).alias("postings"),
             F.transform(F.col("plist"), lambda x: x.tf).alias("tfs"),
         )
     )
-    return stats.join(postings, "token", "left").select(
+    cold = stats.join(blocks, "token").select(
         "token",
         F.col("df").cast("long").alias("df"),
         F.col("ttf").cast("long").alias("total_tf"),
+        "block_no",
         "postings",
         "tfs",
     )
+    hot_rows = stats.filter(
+        F.col("df") > F.lit(_IIX_DF_CAP) * F.col("n_docs")
+    ).select(
+        "token",
+        F.col("df").cast("long").alias("df"),
+        F.col("ttf").cast("long").alias("total_tf"),
+        F.lit(None).cast("long").alias("block_no"),
+        F.lit(None).cast("array<bigint>").alias("postings"),
+        F.lit(None).cast("array<bigint>").alias("tfs"),
+    )
+    return cold.unionByName(hot_rows)
 
 
 @_q(

@@ -144,7 +144,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     inter = (
@@ -157,14 +156,32 @@ def minhash_lsh_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # Size lookup for the verify tier.  sizes has ONE ROW PER INPUT
+    # DOCUMENT (corpus cardinality) — a forced F.broadcast() here would
+    # ship the whole corpus' key set to every executor and OOM the driver
+    # at 10^12 docs.  Instead the frame is left-semi-joined down to docs
+    # that actually appear in a candidate pair (bounded by the LSH
+    # collision set, << corpus when banding does its job), and the join
+    # strategy is left to AQE, which sees the post-semi-join size at
+    # runtime and broadcasts only when that is actually small.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sizes = (
+        tok.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(cand_ids, id_col, "left_semi")
+    )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = F.col("shared").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("shared")
     )
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col(f"sa.{id_col}"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col(f"sb.{id_col}"))
+        inter.join(sa, F.col("doc_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("doc_b") == F.col(f"sb.{id_col}"))
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
@@ -646,8 +663,10 @@ def semdedup(
     corpus (the paper uses ~50k clusters for LAION-scale data) so
     per-cluster populations stay bounded; the join shuffles on
     centroid_id, pairs above threshold are rare, and the component graph
-    is tiny.  The final labeling is a broadcast left join of the (small)
-    cluster-label frame back onto the vectors.
+    is tiny.  The final labeling is a left join of the cluster-label
+    frame back onto the vectors — unhinted, because the label frame's
+    size is data-dependent (the corpus' dup rate); AQE broadcasts it at
+    runtime only when its measured size is actually small.
     """
     assigned = ivf_assign(emb, centroids, id_col, vec_col)
     normed = assigned.select(
@@ -675,9 +694,16 @@ def semdedup(
     clusters = connected_components(pairs, a_col="vec_a", b_col="vec_b").select(
         F.col("doc_id").alias(id_col), F.col("cluster_id")
     )
+    # The cluster-label frame holds one row per NEAR-DUPLICATE vector —
+    # on real web corpora that is 30-50% of documents, so a forced
+    # F.broadcast() here is a driver OOM at 10^12 docs.  No hint: the
+    # join shuffles once and AQE converts it to a broadcast join at
+    # runtime when (and only when) the measured label-frame size is
+    # actually under the broadcast threshold (it sees the real exchange
+    # stats even though CC's output came through localCheckpoint).
     return (
         emb.select(id_col)
-        .join(F.broadcast(clusters), id_col, "left")
+        .join(clusters, id_col, "left")
         .select(
             id_col,
             F.coalesce(F.col("cluster_id"), F.col(id_col))

@@ -626,10 +626,13 @@ class TestDecontamSemantic:
 
 
 class TestInvertedIndex:
-    def test_python_replay_and_cap(self, spark):
+    def test_python_replay_cap_and_block_bound(self, spark):
         """Replay df/ttf/postings in plain Python; verify hot tokens
-        (df > cap fraction) carry stats but NULL postings, and cold
-        tokens carry exact sorted postings with matching tfs."""
+        (df > cap fraction) carry stats but a single NULL-postings row,
+        and cold tokens carry exact sorted postings SHARDED into
+        doc_id-range blocks of at most _IIX_BLOCK entries per row — the
+        structural bound that keeps one reducer cell from holding a
+        corpus-fraction array at any df."""
         from collections import Counter, defaultdict
 
         docs = {
@@ -642,24 +645,42 @@ class TestInvertedIndex:
             for t, c in Counter(toks).items():
                 tfd[t][doc_id] = c
         n_docs = len(docs)
-        rows = {r.token: r for r in entry.inverted_index(spark, SF_DIR).collect()}
-        assert set(rows) == set(tfd)
-        capped = uncapped = 0
+        by_token: dict[str, list] = defaultdict(list)
+        for r in entry.inverted_index(spark, SF_DIR).collect():
+            by_token[r.token].append(r)
+        assert set(by_token) == set(tfd)
+        capped = uncapped = multi_block = 0
         for t, per_doc in tfd.items():
-            r = rows[t]
-            assert r.df == len(per_doc)
-            assert r.total_tf == sum(per_doc.values())
+            rows = by_token[t]
+            for r in rows:
+                assert r.df == len(per_doc)
+                assert r.total_tf == sum(per_doc.values())
             if len(per_doc) > entry._IIX_DF_CAP * n_docs:
-                assert r.postings is None and r.tfs is None, t
+                assert len(rows) == 1 and rows[0].block_no is None
+                assert rows[0].postings is None and rows[0].tfs is None, t
                 capped += 1
             else:
+                rows.sort(key=lambda r: r.block_no)
+                seen_blocks = [r.block_no for r in rows]
+                assert len(set(seen_blocks)) == len(seen_blocks), t
+                merged, merged_tfs = [], []
+                for r in rows:
+                    # per-row structural bound + block membership
+                    assert len(r.postings) <= entry._IIX_BLOCK, t
+                    assert all(
+                        d // entry._IIX_BLOCK == r.block_no for d in r.postings
+                    ), t
+                    merged += r.postings
+                    merged_tfs += r.tfs
                 ordered = sorted(per_doc)
-                assert r.postings == ordered, t
-                assert r.tfs == [per_doc[d] for d in ordered], t
+                assert merged == ordered, t
+                assert merged_tfs == [per_doc[d] for d in ordered], t
                 uncapped += 1
+                multi_block += len(rows) > 1
         # the guard must actually fire on this corpus AND leave real
-        # posting lists too, or the test proves nothing
-        assert capped > 0 and uncapped > 0
+        # posting lists too, or the test proves nothing; the corpus
+        # spans several doc_id blocks, so sharding must be exercised
+        assert capped > 0 and uncapped > 0 and multi_block > 0
 
 
 class TestIncrementalDedupNeardup:
