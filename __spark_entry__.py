@@ -4407,7 +4407,7 @@ _BPE_RANK_SQL = "CASE " + " ".join(
     GROUP BY tfd.doc_id
     """,
 )
-def bpe_tokenize(spark, sf_dir):
+def bpe_tokenize(spark, sf_dir, rank=None):
     """Real BPE tokenization apply — the tokenizer-aware token counting a
     training pipeline needs for packing/budgeting (whitespace counts
     under-estimate transformer sequence lengths; `sequence_pack` and
@@ -4427,9 +4427,14 @@ def bpe_tokenize(spark, sf_dir):
     map-combinable groupBy.  At 10^12 documents the vocabulary is
     ~10^8 — the Python stage stays a rounding error while the corpus
     never enters Python at all.  The DuckDB oracle replays the apply
-    loop as a recursive CTE with the identical leftmost-best policy."""
+    loop as a recursive CTE with the identical leftmost-best policy.
+
+    ``rank`` swaps the inlined stand-in table for a learned one — e.g.
+    the output of `bpe_train` collected into {(lhs, rhs): rank} — without
+    changing the apply plan (the oracle covers the default table only)."""
     import pandas as pd
 
+    merge_rank = _BPE_RANK if rank is None else rank
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
@@ -4445,7 +4450,7 @@ def bpe_tokenize(spark, sf_dir):
                 while True:
                     best = bp = None
                     for i in range(len(syms) - 1):
-                        r = _BPE_RANK.get((syms[i], syms[i + 1]))
+                        r = merge_rank.get((syms[i], syms[i + 1]))
                         if r is not None and (best is None or r < best):
                             best, bp = r, i
                     if bp is None:
@@ -4465,6 +4470,141 @@ def bpe_tokenize(spark, sf_dir):
             ),
         )
     )
+
+
+#: number of merge rounds bpe_train learns (a real tokenizer trains
+#: 30k-100k; 8 keeps the unrolled DuckDB oracle readable — the per-round
+#: plan shape is identical at any count)
+_BPE_TRAIN_ROUNDS = 8
+#: bounded merge passes per round: one plain left-to-right replace pass
+#: can step over an overlapping run (' a a a a ' -> ' aa a a '), so BOTH
+#: engines (and the Python replay test) apply the same fixed number of
+#: passes — 3 saturates runs up to 2^3 symbols, and the variant is
+#: deterministic and engine-identical by construction
+_BPE_TRAIN_PASSES = 3
+
+
+def _bpe_train_sql(rounds=_BPE_TRAIN_ROUNDS, passes=_BPE_TRAIN_PASSES):
+    """Unrolled DuckDB replay of the training loop: one pair-count
+    aggregate + argmax + bounded-pass merge per round, as plain CTEs."""
+    parts = [
+        r"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS w
+      FROM documents WHERE trim(text) != ''
+    ),
+    v AS (SELECT w, count(*) AS cnt FROM tok WHERE w != '' GROUP BY 1),
+    s0 AS (
+      SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS seq, cnt FROM v
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        rep = "seq"
+        for _ in range(passes):
+            rep = f"replace({rep}, ' '||lhs||' '||rhs||' ', ' '||lhs||rhs||' ')"
+        parts.append(
+            f""",
+    p{i} AS (
+      SELECT lhs, rhs, sum(cnt) AS c FROM (
+        SELECT unnest(list_transform(range(1, len(arr)), j -> arr[j])) AS lhs,
+               unnest(list_transform(range(1, len(arr)), j -> arr[j+1])) AS rhs,
+               cnt
+        FROM (SELECT string_split(trim(seq), ' ') AS arr, cnt FROM s{i - 1})
+        WHERE len(arr) >= 2
+      ) GROUP BY 1, 2
+    ),
+    b{i} AS (SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1),
+    s{i} AS (SELECT {rep} AS seq, cnt FROM s{i - 1}, b{i})"""
+        )
+    finals = [
+        f"""SELECT {i} AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+           CAST(c AS BIGINT) AS pair_count FROM b{i}"""
+        for i in range(1, rounds + 1)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(finals)
+
+
+@_q("bpe_train", _bpe_train_sql())
+def bpe_train(spark, sf_dir):
+    """BPE merge-table TRAINING — the other half of the tokenizer story
+    next to `bpe_tokenize`'s apply: learn the merge table itself from the
+    corpus.  Each round counts adjacent symbol pairs across the
+    vocabulary (weighted by word frequency), picks the argmax pair
+    (ties: higher count, then lexicographic (lhs, rhs)), merges it
+    everywhere, and repeats.  Output: (merge_rank, lhs, rhs, merged,
+    pair_count) — a merges.txt, consumable by `bpe_tokenize(rank=...)`.
+
+    Scale shape (the same discipline as bpe_tokenize's vocab-only gate):
+    the corpus is touched ONCE — the word-count groupBy — and every
+    training round runs over the DISTINCT VOCABULARY: one bounded-output
+    pair-count HashAggregate (pairs are bounded by the symbol alphabet
+    squared), one top-1 TakeOrderedAndProject (never a full sort), and a
+    map-side merge via a 1-row broadcast of the argmax pair.  No Python
+    anywhere — the merge is a chain of built-in replace() calls
+    (plan-gated: bpe_train_no_python_no_corpus_resort).
+
+    Merge variant: a plain replace pass is left-to-right non-overlapping,
+    which steps over runs (' a a a a ' needs two passes), so each round
+    applies _BPE_TRAIN_PASSES identical passes — deterministic, identical
+    in Spark/DuckDB/the Python replay test, and saturating for runs up to
+    2^passes symbols."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    seqs = vocab.select(
+        F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 ")).alias("seq"),
+        "cnt",
+    )
+    merges = []
+    for rnk in range(1, _BPE_TRAIN_ROUNDS + 1):
+        arr = F.split(F.trim(F.col("seq")), " ")
+        prs = (
+            seqs.filter(F.size(arr) >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda j: F.struct(
+                            F.element_at(arr, j).alias("lhs"),
+                            F.element_at(arr, j + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("pr"),
+            )
+            .select("cnt", "pr.lhs", "pr.rhs")
+        )
+        best = (
+            prs.groupBy("lhs", "rhs")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(rnk).alias("merge_rank"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                F.col("c").cast("long").alias("pair_count"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("lhs"), F.lit(" "), F.col("rhs"), F.lit(" "))
+        rep = F.concat(F.lit(" "), F.col("lhs"), F.col("rhs"), F.lit(" "))
+        merged_seq = F.col("seq")
+        for _ in range(_BPE_TRAIN_PASSES):
+            merged_seq = F.replace(merged_seq, pat, rep)
+        # 1-row argmax frame: bounded by the LIMIT 1 — broadcast so the
+        # vocab-side merge stays map-side (no vocab shuffle per round)
+        seqs = seqs.crossJoin(F.broadcast(best.select("lhs", "rhs"))).select(
+            merged_seq.alias("seq"), "cnt"
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
 
 
 @_q(

@@ -244,6 +244,7 @@ def main():
         "repeated_span_scrub",
         "llm_corpus_pipeline",
         "bpe_tokenize",
+        "bpe_train",
         "crawl_diff_report",
         "quantile_gated_filter",
     ]

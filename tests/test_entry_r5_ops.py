@@ -1,0 +1,132 @@
+"""Invariant tests for the round-5 operator batch: BPE merge-table
+training (`bpe_train`) and its consumption by `bpe_tokenize(rank=...)`.
+The DuckDB oracle gate (tools/check_oracles.py) pins bpe_train's exact
+values against an unrolled-CTE replay; these tests pin the semantics with
+an engine-independent pure-Python replay of the training loop, and prove
+the learned table actually drives the apply path end-to-end."""
+
+from __future__ import annotations
+
+import re
+import sys
+from collections import Counter, defaultdict
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+import __spark_entry__ as entry  # noqa: E402
+from readability_spark.spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    spark = get_spark(
+        app_name="entry-r5-tests", master="local[8]", shuffle_partitions=8
+    )
+    yield spark
+    spark.stop()
+
+
+def _word_counts(spark):
+    counts: Counter = Counter()
+    for r in entry._docs(spark, SF_DIR).collect():
+        if r.text and r.text.strip():
+            for w in r.text.strip().split(" "):
+                if w:
+                    counts[w] += 1
+    return counts
+
+
+def _train_replay(word_counts, rounds, passes):
+    """Pure-Python replay of the bpe_train loop: the same char split
+    (regex '(.)' — newline-glued, like both engines), the same
+    (count desc, lhs asc, rhs asc) argmax, the same bounded-pass merge."""
+    seqs = {
+        " " + re.sub(r"(.)", r"\1 ", w): c for w, c in word_counts.items()
+    }
+    merges = []
+    for rnk in range(1, rounds + 1):
+        pairs: dict = defaultdict(int)
+        for seq, cnt in seqs.items():
+            arr = seq.strip().split(" ")
+            for i in range(len(arr) - 1):
+                pairs[(arr[i], arr[i + 1])] += cnt
+        (lhs, rhs), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnk, lhs, rhs, lhs + rhs, c))
+        pat, rep = f" {lhs} {rhs} ", f" {lhs}{rhs} "
+        new_seqs: dict = defaultdict(int)
+        for seq, cnt in seqs.items():
+            for _ in range(passes):
+                seq = seq.replace(pat, rep)
+            new_seqs[seq] += cnt
+        seqs = new_seqs
+    return merges
+
+
+def _apply_replay(word, rank):
+    """Pure-Python replay of bpe_tokenize's leftmost-best apply loop."""
+    syms = list(word)
+    while True:
+        best = bp = None
+        for i in range(len(syms) - 1):
+            r = rank.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bp = r, i
+        if bp is None:
+            return len(syms)
+        syms[bp : bp + 2] = [syms[bp] + syms[bp + 1]]
+
+
+class TestBpeTrain:
+    def test_python_replay_of_training_loop(self, spark):
+        """The Spark merge table must equal the pure-Python training
+        replay row for row — rank order, pair identity, and counts."""
+        got = sorted(
+            (r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in entry.bpe_train(spark, SF_DIR).collect()
+        )
+        want = _train_replay(
+            _word_counts(spark), entry._BPE_TRAIN_ROUNDS, entry._BPE_TRAIN_PASSES
+        )
+        assert got == want
+        # training must make progress: every round merges a real pair
+        assert all(c > 0 for *_, c in got)
+        assert len(got) == entry._BPE_TRAIN_ROUNDS
+        # later merges may build on earlier ones (multi-char symbols) —
+        # assert at least one learned symbol exceeds two chars, i.e. the
+        # rounds genuinely compose rather than re-learning char pairs
+        assert any(len(m) > 2 for _, _, _, m, _ in got)
+
+    def test_tokenize_consumes_trained_table(self, spark):
+        """bpe_tokenize(rank=<trained>) must count pieces under the
+        LEARNED merges: per-doc n_bpe_pieces equals the pure-Python
+        apply replay with the same table, and differs from the
+        stand-in table's counts somewhere (the rank really drives it)."""
+        trained = {
+            (r.lhs, r.rhs): r.merge_rank
+            for r in entry.bpe_train(spark, SF_DIR).collect()
+        }
+        got = {
+            r.doc_id: (r.n_words, r.n_bpe_pieces)
+            for r in entry.bpe_tokenize(spark, SF_DIR, rank=trained).collect()
+        }
+        stand_in = {
+            r.doc_id: r.n_bpe_pieces
+            for r in entry.bpe_tokenize(spark, SF_DIR).collect()
+        }
+        assert got
+        for r in entry._docs(spark, SF_DIR).collect():
+            if not (r.text and r.text.strip()):
+                continue
+            words = [w for w in r.text.strip().split(" ") if w]
+            pieces = sum(_apply_replay(w, trained) for w in words)
+            assert got[r.doc_id] == (len(words), pieces), r.doc_id
+        assert any(
+            got[d][1] != stand_in[d] for d in got
+        ), "trained table produced identical counts to the stand-in everywhere"

@@ -522,6 +522,20 @@ def main():
         must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
     )
 
+    # 34l2. BPE train: NO Python anywhere (the merge is built-in
+    # replace()), the per-round argmax is a heap top-1
+    # (TakeOrderedAndProject, never a full sort of the pair counts), and
+    # the corpus appears only in the word-count aggregate — the per-round
+    # 1-row pair frames join back by broadcast (BroadcastNestedLoopJoin
+    # on a LIMIT-1 side is the intended cross shape, so only a true
+    # CartesianProduct is banned)
+    check(
+        "bpe_train_no_python_no_corpus_resort",
+        allq["bpe_train"](spark, SF_DIR),
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
+    )
+
     # 34l. BPE tokenize: the Python stage (ArrowEvalPython/MapInPandas)
     # must sit on the DISTINCT-vocabulary branch, and the corpus joins
     # the piece dim without anything cartesian
@@ -694,6 +708,7 @@ def main():
             ("F.broadcast(q)", "single ANN query vector"),
             ("F.broadcast(thr)", "single-row sketch-derived threshold"),
             ("F.broadcast(hot)", "stop-token set — bounded by 1/df_cap tokens"),
+            ("F.broadcast(best", "single-row argmax pair (LIMIT 1) per training round"),
             ("F.broadcast(c)", "explicit dim-broadcast demo (join_customer_orders)"),
         ],
     }
