@@ -2676,15 +2676,17 @@ def llm_corpus_pipeline(spark, sf_dir):
     )
 
 
-#: fasttext-style hashed linear model: 64 weight buckets, weights are
-#: EXACT multiples of 1/64 so double-precision sums are exact (binary
-#: fractions, magnitude << 2^53) and therefore order-independent — the
-#: property that lets Spark's left-fold F.aggregate and DuckDB's list_sum
-#: hash-match bit-for-bit.  37 is coprime to 64, so the weight table is a
-#: permutation of (-32..31)/64 — a deterministic stand-in for trained
-#: weights; a real deployment swaps this literal for the trained vector.
-_QC_WEIGHTS = [((b * 37 + 11) % 64 - 32) / 64 for b in range(64)]
-_QC_BIAS = 1 / 64  # exact in double on both engines
+#: fasttext-style hashed linear model — weights/bias/scoring expression
+#: now live in readability_spark.spark.modelscore (the probed model-
+#: inference seam); see QC_WEIGHTS there for the exactness argument that
+#: makes the DuckDB replay hash-match bit-for-bit
+from readability_spark.spark.modelscore import (  # noqa: E402
+    QC_BIAS as _QC_BIAS,
+    QC_WEIGHTS as _QC_WEIGHTS,
+    hashed_logit as _qc_hashed_logit,
+    score_auto as _score_auto,
+)
+
 _QC_W_SQL = "[" + ", ".join(repr(w) for w in _QC_WEIGHTS) + "]"
 
 
@@ -2729,19 +2731,7 @@ def quality_classifier_hashed(spark, sf_dir):
     would move to a broadcast map-side join or stay inlined at ~16 MB of
     plan literal — both shuffle-free."""
     arr = F.split(F.trim(F.col("text")), " ")
-    wlit = F.lit(_QC_WEIGHTS)
-
-    def bucket(t):
-        return F.pmod(
-            F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("int"), F.lit(64)
-        )
-
-    sw = F.aggregate(
-        arr,
-        F.lit(0.0),
-        lambda acc, t: acc + F.element_at(wlit, bucket(t) + 1),
-    )
-    logit = sw / F.size(arr) + F.lit(_QC_BIAS)
+    logit = _qc_hashed_logit(F.col("text"))
     return (
         _docs(spark, sf_dir)
         .filter(F.trim(F.col("text")) != "")
@@ -2752,6 +2742,44 @@ def quality_classifier_hashed(spark, sf_dir):
             (logit >= 0).alias("keep"),
         )
     )
+
+
+@_q(
+    "quality_score_auto",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    s AS (
+      SELECT doc_id, len(arr) AS n_tokens,
+             list_sum(list_transform(arr, t -> ({_QC_W_SQL})[
+               ((strpos('{_DSIR_HEX}', substr(md5(t), 1, 1)) - 1) * 16
+                + (strpos('{_DSIR_HEX}', substr(md5(t), 2, 1)) - 1)) % 64 + 1
+             ])) AS sw
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(sw / n_tokens + {_QC_BIAS!r}, 4) AS quality_logit,
+           (sw / n_tokens + {_QC_BIAS!r}) >= 0 AS keep,
+           'hashed' AS scorer
+    FROM s
+    """,
+)
+def quality_score_auto(spark, sf_dir):
+    """Model-inference SEAM for quality scoring (modelscore.score_auto):
+    score with a real trained model when the capability exists — the
+    ``fasttext`` package plus a model file at $SPARK_GRAFT_QUALITY_MODEL,
+    run per-Arrow-batch via mapInPandas with the model cached once per
+    worker — and with the deterministic hashed-linear stand-in otherwise
+    (a pure narrow column expression; identical output schema, rows
+    labeled by the ``scorer`` column).  The same probed-capability
+    pattern as the media decoders (multimodal.decode_auto); the fake-
+    injection tests prove both branches.  In this model-less container
+    the query always takes the stub tier, which is what the oracle
+    replays (and why the oracle stays valid here)."""
+    return _score_auto(_docs(spark, sf_dir))
 
 
 #: Gopher required stopwords (Rae et al. 2021, public heuristics)

@@ -471,6 +471,23 @@ def main():
         must_not=[r"Exchange", r"Join", r"HashAggregate", r"Generate"],
     )
 
+    # 30b. score_auto's STUB tier (this container has no model): must be
+    # the same pure narrow projection — no Python stage, no shuffle; the
+    # model tier's mapInPandas shape is proven by the seam unit tests
+    check(
+        "quality_score_auto_stub_map_only",
+        allq["quality_score_auto"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[
+            r"Exchange",
+            r"Join",
+            r"HashAggregate",
+            r"Generate",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+        ],
+    )
+
     # 31. Text normalization: replace/regexp chain is map-only codegen
     check(
         "text_normalize_map_only",
