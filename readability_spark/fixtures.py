@@ -691,6 +691,213 @@ def definition_lists(i, rng):
     )
 
 
+def medium_progressive(i, rng):
+    """Reference medium-1/2/3 analog: section-based article whose figures
+    carry progressive <picture>/<noscript> image pairs with data: URI
+    placeholders — the noscript-image unwrap and lazy-src rewrite must
+    fire inside real content, not strip it."""
+    cap = _words(rng, 4)
+    return (
+        f"<html><body><article><section>"
+        f"<h1>{_words(rng, 5).title()}</h1>"
+        f"<p>{_words(rng, 14)}.</p>"
+        f"<figure><picture>"
+        f'<img src="data:image/gif;base64,R0lGOD" data-src="/img/{i}.jpg"/>'
+        f"</picture><noscript>&lt;img src=&quot;/img/{i}.jpg&quot;&gt;</noscript>"
+        f"<figcaption>{cap}</figcaption></figure>"
+        f"<p>{_words(rng, 12)}.</p></section>"
+        f"<section><p>{_words(rng, 11)}.</p></section>"
+        f"</article></body></html>"
+    )
+
+
+def nytimes_interactive(i, rng):
+    """Reference nytimes-1..4 analog: og/article meta in the head, a
+    multi-author byline paragraph, and interactive-embed placeholder divs
+    interleaved with the prose — the embeds score nothing and must not
+    break sibling merging around them."""
+    a1, a2 = _words(rng, 2).title(), _words(rng, 2).title()
+    embeds = "".join(
+        f'<div class="interactive-embed" data-kind="chart{j}"></div>'
+        for j in range(2)
+    )
+    return (
+        f"<html><head>"
+        f'<meta property="og:title" content="{_words(rng, 6).title()}"/>'
+        f'<meta property="article:published_time" content="2026-0{1 + i % 9}-03T12:00:00Z"/>'
+        f"</head><body><article>"
+        f'<p class="byline">By {a1} and {a2}</p>'
+        f"<p>{_words(rng, 16)}.</p>{embeds}"
+        f"<p>{_words(rng, 13)}.</p><p>{_words(rng, 12)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def wikipedia_infobox(i, rng):
+    """Reference wikipedia/wikipedia-3 analog: an infobox table and a TOC
+    list ahead of the prose, citation superscripts inline — the table and
+    nav lists must lose to the paragraph content, and <sup> text joins
+    under the html5 text rules."""
+    box = "".join(
+        f"<tr><th>{_words(rng, 1)}</th><td>{_words(rng, 2)}</td></tr>"
+        for _ in range(5)
+    )
+    toc = "".join(f'<li><a href="#s{j}">{_words(rng, 2)}</a></li>' for j in range(4))
+    return (
+        f'<html><body><div id="content"><h1>{_words(rng, 3).title()}</h1>'
+        f'<table class="infobox">{box}</table>'
+        f'<div id="toc"><ul>{toc}</ul></div>'
+        f'<p>{_words(rng, 15)}<sup class="reference">[1]</sup> {_words(rng, 9)}.</p>'
+        f'<p>{_words(rng, 14)}<sup class="reference">[2]</sup>.</p>'
+        f"<p>{_words(rng, 12)}.</p></div></body></html>"
+    )
+
+
+def yahoo_modules(i, rng):
+    """Reference yahoo-1..4 analog: heavy nav/aside 'stream' modules whose
+    class names hit the unlikely-candidate regex around a caas-style
+    article body."""
+    mods = "".join(
+        f'<div class="stream-module sidebar"><a href="/s/{j}">{_words(rng, 3)}</a></div>'
+        for j in range(4)
+    )
+    return (
+        f"<html><body><nav><ul><li><a href='/'>home</a></li></ul></nav>"
+        f"{mods}"
+        f'<div class="caas-body"><p>{_words(rng, 16)}.</p>'
+        f"<p>{_words(rng, 13)}.</p><p>{_words(rng, 11)}.</p></div>"
+        f'<aside class="related-stories"><p>{_words(rng, 5)}</p></aside>'
+        f"</body></html>"
+    )
+
+
+def guardian_standfirst(i, rng):
+    """Reference guardian-1 analog: a standfirst summary div, an
+    element-image figure, and a submeta footer of tag links that must not
+    ride along with the selected content."""
+    tags = "".join(f'<a href="/tag/{j}">{_words(rng, 1)}</a>' for j in range(5))
+    return (
+        f"<html><body><article>"
+        f'<div class="standfirst"><p>{_words(rng, 9)}.</p></div>'
+        f'<figure class="element-image"><img src="/g/{i}.jpg"/>'
+        f"<figcaption>{_words(rng, 5)}</figcaption></figure>"
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 14)}.</p>"
+        f'<div class="submeta"><span>Topics</span>{tags}</div>'
+        f"</article></body></html>"
+    )
+
+
+def blog_code_series(i, rng):
+    """Reference v8-blog/gitlab-blog analog: h2-sectioned technical post
+    whose <pre><code> blocks carry entity-escaped angle brackets — raw
+    code must survive extraction verbatim (entity unescape happens once,
+    in the output stage)."""
+    code = f"if (x &lt; {i % 7}) {{ emit(&quot;ok&quot;); }}"
+    return (
+        f"<html><body><article><h1>{_words(rng, 4).title()}</h1>"
+        f"<h2>{_words(rng, 3).title()}</h2><p>{_words(rng, 13)}.</p>"
+        f"<pre><code>{code}</code></pre>"
+        f"<h2>{_words(rng, 3).title()}</h2><p>{_words(rng, 12)}.</p>"
+        f'<footer class="post-author">{_words(rng, 2).title()}</footer>'
+        f"</article></body></html>"
+    )
+
+
+def news_video_lede(i, rng):
+    """Reference cnn/theverge analog: a video-player lede container (all
+    chrome, no text) ahead of the prose plus a JSON config script — the
+    player div must not become the top candidate and script raw text
+    never reaches text_content."""
+    return (
+        f"<html><body>"
+        f'<div class="video-player js-media" id="lede-video">'
+        f'<div class="player-controls"></div></div>'
+        f'<script type="application/json">{{"vid": {i}, "autoplay": false}}</script>'
+        f"<p>{_words(rng, 16)}.</p><p>{_words(rng, 14)}.</p>"
+        f"<p>{_words(rng, 11)}.</p></body></html>"
+    )
+
+
+def toc_anchor_page(i, rng):
+    """Reference toc-missing analog: an in-page table of contents of
+    pure anchor lists ahead of anchored h2 sections — link-density
+    scoring must keep the TOC out of the content while the sections,
+    whose headings carry ids, stay in."""
+    toc = "".join(
+        f'<li><a href="#sec{j}">{_words(rng, 2)}</a></li>' for j in range(5)
+    )
+    secs = "".join(
+        f'<h2 id="sec{j}">{_words(rng, 3).title()}</h2><p>{_words(rng, 12)}.</p>'
+        for j in range(3)
+    )
+    return (
+        f'<html><body><ul class="toc">{toc}</ul>'
+        f"<div id='post-body'>{secs}</div></body></html>"
+    )
+
+
+def inline_script_content(i, rng):
+    """Reference remove-script-tags analog: inline scripts INSIDE content
+    paragraphs' parent — script elements are disallowed nodes and their
+    raw text must vanish even when they sit between scoring paragraphs."""
+    return (
+        f"<html><body><div class='entry'>"
+        f"<p>{_words(rng, 13)}.</p>"
+        f"<script>var track_{i} = document.createElement('div');</script>"
+        f"<p>{_words(rng, 12)}.</p>"
+        f"<script async src='/js/ads.js'></script>"
+        f"<p>{_words(rng, 10)}.</p></div></body></html>"
+    )
+
+
+def wapo_cards(i, rng):
+    """Reference wapo-1/2 analog: card-sectioned article with interstitial
+    newsletter-promo cards whose classes hit the unlikely regex — promos
+    drop, prose cards sibling-merge across the gaps."""
+    cards = "".join(
+        f'<div class="card"><p>{_words(rng, 13)}.</p></div>'
+        f'<div class="newsletter-inline promo"><p>Sign up for {_words(rng, 2)}</p></div>'
+        for _ in range(2)
+    )
+    return (
+        f"<html><body><article>{cards}"
+        f'<div class="card"><p>{_words(rng, 14)}.</p></div>'
+        f"</article></body></html>"
+    )
+
+
+def breadcrumb_share_rail(i, rng):
+    """Reference seattletimes/telegraph analog: breadcrumb nav and a
+    share-tool rail flanking the story body; both are boilerplate the
+    strip pass must remove despite sitting inside the article element."""
+    crumbs = " / ".join(
+        f'<a href="/c/{j}">{_words(rng, 1)}</a>' for j in range(3)
+    )
+    return (
+        f"<html><body><article>"
+        f'<div class="breadcrumbs">{crumbs}</div>'
+        f'<div class="share-tools social"><a href="#">share</a><a href="#">tweet</a></div>'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 13)}.</p>"
+        f"<p>{_words(rng, 12)}.</p></article></body></html>"
+    )
+
+
+def paywall_teaser(i, rng):
+    """Reference wsj/ft-style gating analog: a short visible teaser, a
+    paywall overlay div (boilerplate classes), and the full body in a
+    second container — the overlay must drop and the fuller container
+    must win top-candidate."""
+    return (
+        f"<html><body>"
+        f'<div class="article-teaser"><p>{_words(rng, 8)}.</p></div>'
+        f'<div class="paywall-overlay modal subscribe-prompt">'
+        f"<p>Subscribe to continue reading</p></div>"
+        f'<div class="article-full"><p>{_words(rng, 16)}.</p>'
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p></div>"
+        f"</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -737,6 +944,18 @@ FAMILIES = [
     ("cjk_multibyte", cjk_multibyte),
     ("pre_code_blocks", pre_code_blocks),
     ("definition_lists", definition_lists),
+    ("medium_progressive", medium_progressive),
+    ("nytimes_interactive", nytimes_interactive),
+    ("wikipedia_infobox", wikipedia_infobox),
+    ("yahoo_modules", yahoo_modules),
+    ("guardian_standfirst", guardian_standfirst),
+    ("blog_code_series", blog_code_series),
+    ("news_video_lede", news_video_lede),
+    ("toc_anchor_page", toc_anchor_page),
+    ("inline_script_content", inline_script_content),
+    ("wapo_cards", wapo_cards),
+    ("breadcrumb_share_rail", breadcrumb_share_rail),
+    ("paywall_teaser", paywall_teaser),
 ]
 
 
@@ -750,9 +969,13 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=260):
+def build_rows(n=400):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
-    through the remaining families (each family >= 3 rows at n=260)."""
+    round-robin through the remaining len(FAMILIES)-1 families.  Each
+    non-plain family gets floor-or-ceil of n*9/20 / (len(FAMILIES)-1)
+    rows — with 57 families, n=400 yields 180 non-plain rows, >= 3 per
+    family (the invariant test_golden_spark pins); raise n when adding
+    families if 9n/20 drops below 3*(len(FAMILIES)-1)."""
     rows = []
     others = FAMILIES[1:]
     other_idx = 0
