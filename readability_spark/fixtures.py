@@ -898,6 +898,133 @@ def paywall_teaser(i, rng):
     )
 
 
+def blogger_dynamic(i, rng):
+    """Reference blogger/wordpress analog: date-header spans and a
+    post-footer label cloud around the post-body div — platform chrome
+    with weak classes the scorer must out-rank rather than regex-strip."""
+    labels = "".join(f'<a href="/label/{j}">{_words(rng, 1)}</a>' for j in range(4))
+    return (
+        f"<html><body>"
+        f'<span class="date-header">January {1 + i % 28}, 2026</span>'
+        f'<div class="post-body entry-content">'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 13)}.</p>"
+        f"<p>{_words(rng, 12)}.</p></div>"
+        f'<div class="post-footer">Labels: {labels}</div>'
+        f"</body></html>"
+    )
+
+
+def msn_listicle(i, rng):
+    """Reference msn/buzzfeed-1 analog: numbered h2 items each with an
+    image block and a short paragraph — content spread thin across many
+    siblings, exercising sibling merge under the top candidate."""
+    items = "".join(
+        f'<h2>{j + 1}. {_words(rng, 3).title()}</h2>'
+        f'<img src="/li/{i}-{j}.jpg"/>'
+        f"<p>{_words(rng, 11)}.</p>"
+        for j in range(4)
+    )
+    return (
+        f'<html><body><div class="gallery article-body">'
+        f"<p>{_words(rng, 12)}.</p>{items}</div></body></html>"
+    )
+
+
+def liveblog_updates(i, rng):
+    """Reference lemonde-1/la-nacion analog: timestamped update blocks
+    (<time> elements) and a link-dense 'read more' box between them —
+    the box's link density must keep it out while the updates stay."""
+    related = "".join(f'<a href="/read/{j}">{_words(rng, 4)}</a>' for j in range(4))
+    ups = "".join(
+        f'<div class="update"><time>1{j}:2{j}</time>'
+        f"<p>{_words(rng, 13)}.</p></div>"
+        for j in range(3)
+    )
+    return (
+        f'<html><body><div class="liveblog">{ups}'
+        f'<div class="read-more-box">{related}</div>'
+        f"<p>{_words(rng, 12)}.</p></div></body></html>"
+    )
+
+
+def spec_table_review(i, rng):
+    """Reference heise/cnet analog: a data-bearing spec table INSIDE the
+    content (must survive — it is not a layout table) plus a figure whose
+    copyright span rides the caption."""
+    spec = "".join(
+        f"<tr><td>{_words(rng, 1)}</td><td>{10 + j} {_words(rng, 1)}</td></tr>"
+        for j in range(4)
+    )
+    return (
+        f"<html><body><article><p>{_words(rng, 14)}.</p>"
+        f"<table><tr><th>spec</th><th>value</th></tr>{spec}</table>"
+        f'<figure><img src="/rev/{i}.jpg"/><figcaption>{_words(rng, 4)} '
+        f'<span class="copyright">(c) example</span></figcaption></figure>'
+        f"<p>{_words(rng, 12)}.</p></article></body></html>"
+    )
+
+
+def rfc_plain_sections(i, rng):
+    """Reference ietf-1/ebb-org analog: classless, chrome-less document —
+    bare h2 sections, a <pre> ascii block and an <address> footer; scoring
+    must work on text signals alone (no class/id hints either way)."""
+    return (
+        f"<html><body><h1>{_words(rng, 4).title()}</h1>"
+        f"<h2>1. {_words(rng, 2).title()}</h2><p>{_words(rng, 15)}.</p>"
+        f"<pre>   field | bits\n   ----- | ----\n   kind  | {i % 8}</pre>"
+        f"<h2>2. {_words(rng, 2).title()}</h2><p>{_words(rng, 14)}.</p>"
+        f"<address>authors: {_words(rng, 2)}</address></body></html>"
+    )
+
+
+def cjk_portal(i, rng):
+    """Reference qq/gmw/hukumusume analog: CJK portal chrome (dense nav of
+    short CJK anchors) around a CJK article body — multibyte text plus
+    the portal's link walls in one page."""
+    zh = "新闻 报道 科技 文化 经济 体育 教育 健康".split()
+    navs = "".join(f'<a href="/c/{j}">{zh[j % len(zh)]}</a>' for j in range(8))
+    body = "。".join(
+        "".join(rng.choice(zh) for _ in range(10)) for _ in range(3)
+    )
+    return (
+        f'<html><head><meta charset="utf-8"/></head><body>'
+        f'<div class="portal-nav">{navs}</div>'
+        f'<div class="article-content"><p>{body}。</p>'
+        f"<p>{_words(rng, 10)}.</p></div></body></html>"
+    )
+
+
+def quote_reblog(i, rng):
+    """Reference tumblr/pixnet analog: blockquote-heavy short post with
+    reblog chrome — nested quotes are content here, and the reblog
+    header/footer chrome must not drag them out."""
+    return (
+        f"<html><body>"
+        f'<div class="reblog-header"><a href="/u/{i % 9}">user{i % 9}</a> reblogged</div>'
+        f'<div class="post-content"><blockquote><p>{_words(rng, 12)}.</p>'
+        f"<blockquote><p>{_words(rng, 10)}.</p></blockquote></blockquote>"
+        f"<p>{_words(rng, 11)}.</p></div>"
+        f'<div class="note-count">{i % 100} notes</div>'
+        f"</body></html>"
+    )
+
+
+def medical_qa_sections(i, rng):
+    """Reference webmd-1/2 analog: question-styled h2 sections with an
+    'advertisement' placeholder div between them — the ad slots drop,
+    the Q/A sections merge into one article."""
+    secs = "".join(
+        f"<h2>{_words(rng, 4).title()}?</h2><p>{_words(rng, 13)}.</p>"
+        f'<div class="ad-slot advertisement"><span>Advertisement</span></div>'
+        for _ in range(2)
+    )
+    return (
+        f'<html><body><div class="article-page">'
+        f"<p>{_words(rng, 14)}.</p>{secs}"
+        f"<p>{_words(rng, 12)}.</p></div></body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -956,6 +1083,14 @@ FAMILIES = [
     ("wapo_cards", wapo_cards),
     ("breadcrumb_share_rail", breadcrumb_share_rail),
     ("paywall_teaser", paywall_teaser),
+    ("blogger_dynamic", blogger_dynamic),
+    ("msn_listicle", msn_listicle),
+    ("liveblog_updates", liveblog_updates),
+    ("spec_table_review", spec_table_review),
+    ("rfc_plain_sections", rfc_plain_sections),
+    ("cjk_portal", cjk_portal),
+    ("quote_reblog", quote_reblog),
+    ("medical_qa_sections", medical_qa_sections),
 ]
 
 
@@ -969,11 +1104,11 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=400):
+def build_rows(n=440):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
     round-robin through the remaining len(FAMILIES)-1 families.  Each
     non-plain family gets floor-or-ceil of n*9/20 / (len(FAMILIES)-1)
-    rows — with 57 families, n=400 yields 180 non-plain rows, >= 3 per
+    rows — with 65 families, n=440 yields 198 non-plain rows, >= 3 per
     family (the invariant test_golden_spark pins); raise n when adding
     families if 9n/20 drops below 3*(len(FAMILIES)-1)."""
     rows = []
