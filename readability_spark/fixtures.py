@@ -1025,6 +1025,143 @@ def medical_qa_sections(i, rng):
     )
 
 
+def figure_rich_essay(i, rng):
+    """Reference quanta/citylab analog: long-form essay whose figures carry
+    credit lines and whose pull-quote asides duplicate body sentences —
+    the pull quotes (aside) drop while figcaptions stay with content."""
+    pull = _words(rng, 7)
+    return (
+        f"<html><body><article><p>{_words(rng, 15)}.</p>"
+        f'<aside class="pull-quote"><p>{pull}</p></aside>'
+        f'<figure><img src="/q/{i}.png"/><figcaption>{_words(rng, 5)} '
+        f"Credit: Example Labs</figcaption></figure>"
+        f"<p>{pull} {_words(rng, 9)}.</p><p>{_words(rng, 12)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def engadget_scorecard(i, rng):
+    """Reference engadget/cnet-review analog: a pros/cons scorecard list
+    pair inside the review body — genuine content lists that must not be
+    stripped as chrome despite their boxy markup."""
+    pros = "".join(f"<li>{_words(rng, 3)}</li>" for _ in range(3))
+    cons = "".join(f"<li>{_words(rng, 3)}</li>" for _ in range(2))
+    return (
+        f"<html><body><article><p>{_words(rng, 14)}.</p>"
+        f'<div class="scorecard"><h3>Pros</h3><ul>{pros}</ul>'
+        f"<h3>Cons</h3><ul>{cons}</ul></div>"
+        f"<p>{_words(rng, 13)}.</p><p>{_words(rng, 11)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def folha_l10n_meta(i, rng):
+    """Reference folha/la-nacion/lemonde analog: non-English page whose
+    head metadata and lang attributes disagree case/spacing-wise — the
+    lang extraction must normalize while accented body text survives
+    byte-identically."""
+    pt = ["economia", "política", "educação", "saúde", "ciência", "negócios"]
+    body = " ".join(rng.choice(pt) for _ in range(12))
+    return (
+        f'<html lang="PT-br"><head>'
+        f'<meta property="og:title" content="{_words(rng, 4).title()}"/>'
+        f'<meta property="og:locale" content="pt_BR"/></head>'
+        f"<body><p>{body}.</p><p>{body[::-1][:40]}.</p></body></html>"
+    )
+
+
+def dev_docs_nav_tree(i, rng):
+    """Reference dev418/ietf analog: docs page with a deep left-nav link
+    tree (every line an anchor) beside a prose main — link density must
+    sink the whole nav tree, not just its top node."""
+    tree = "".join(
+        f'<li><a href="/d/{j}">{_words(rng, 2)}</a><ul>'
+        + "".join(f'<li><a href="/d/{j}/{k}">{_words(rng, 2)}</a></li>' for k in range(3))
+        + "</ul></li>"
+        for j in range(3)
+    )
+    return (
+        f'<html><body><div class="docs-sidebar"><ul>{tree}</ul></div>'
+        f'<main><h1>{_words(rng, 3).title()}</h1>'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 13)}.</p></main>"
+        f"</body></html>"
+    )
+
+
+def salon_next_page(i, rng):
+    """Reference salon-1/ars multi-page analog: article body ending in a
+    pagination block ('next page' links) — the pager drops, the body
+    stays whole."""
+    pager = "".join(f'<a href="/story/{i}?page={j}">{j}</a>' for j in range(1, 5))
+    return (
+        f'<html><body><div id="story-body">'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 14)}.</p>"
+        f'<div class="pagination pager">{pager}'
+        f'<a href="/story/{i}?page=2">Next page</a></div>'
+        f"</div></body></html>"
+    )
+
+
+def tmz_caption_gallery(i, rng):
+    """Reference tmz-1/buzzfeed analog: celebrity-gallery page whose
+    content is caption paragraphs under images plus a launch-gallery
+    button — captions are the content, the button chrome is not."""
+    shots = "".join(
+        f'<img src="/g/{i}-{j}.jpg"/><p class="caption">{_words(rng, 9)}.</p>'
+        for j in range(3)
+    )
+    return (
+        f'<html><body><div class="gallery-article">{shots}'
+        f'<a class="launch-gallery button" href="/gallery/{i}">Launch Gallery</a>'
+        f"<p>{_words(rng, 11)}.</p></div></body></html>"
+    )
+
+
+def spiceworks_forum_answer(i, rng):
+    """Reference spiceworks/ehow analog: Q&A page — question block,
+    accepted-answer block (the content), and a stack of short low-score
+    replies with vote chrome that must lose."""
+    replies = "".join(
+        f'<div class="reply"><span class="votes">{j}</span>'
+        f"<p>{_words(rng, 4)}.</p></div>"
+        for j in range(3)
+    )
+    return (
+        f'<html><body><div class="question"><h1>{_words(rng, 6).title()}?</h1>'
+        f"<p>{_words(rng, 9)}?</p></div>"
+        f'<div class="accepted-answer"><p>{_words(rng, 15)}.</p>'
+        f"<p>{_words(rng, 12)}.</p></div>"
+        f'<div class="replies">{replies}</div></body></html>'
+    )
+
+
+def youth_onclick_chrome(i, rng):
+    """Reference youth/pixnet analog: inline event-handler attributes and
+    javascript: hrefs riding content elements — attributes must survive
+    serialization untouched while javascript: URIs never become text."""
+    return (
+        f"<html><body><div class='entry-body'>"
+        f"<p onclick=\"trk({i})\">{_words(rng, 13)}.</p>"
+        f'<p><a href="javascript:void(0)" onmouseover="pop()">{_words(rng, 3)}</a> '
+        f"{_words(rng, 10)}.</p>"
+        f"<p>{_words(rng, 11)}.</p></div></body></html>"
+    )
+
+
+def iab_consent_banner(i, rng):
+    """Reference iab-1 analog: GDPR consent banner + cookie-notice fixed
+    bars around the article — classic boilerplate the unlikely regex and
+    hidden-node rules must remove together."""
+    return (
+        f"<html><body>"
+        f'<div class="cookie-banner consent-notice" style="position:fixed">'
+        f"<p>We use cookies. <a href='/privacy'>Learn more</a></p></div>"
+        f"<article><p>{_words(rng, 15)}.</p><p>{_words(rng, 12)}.</p></article>"
+        f'<div class="gdpr-modal" aria-hidden="true"><p>Manage preferences</p></div>'
+        f"</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -1091,6 +1228,14 @@ FAMILIES = [
     ("cjk_portal", cjk_portal),
     ("quote_reblog", quote_reblog),
     ("medical_qa_sections", medical_qa_sections),
+    ("figure_rich_essay", figure_rich_essay),
+    ("engadget_scorecard", engadget_scorecard),
+    ("folha_l10n_meta", folha_l10n_meta),
+    ("dev_docs_nav_tree", dev_docs_nav_tree),
+    ("salon_next_page", salon_next_page),
+    ("tmz_caption_gallery", tmz_caption_gallery),
+    ("spiceworks_forum_answer", spiceworks_forum_answer),
+    ("iab_consent_banner", iab_consent_banner),
 ]
 
 
@@ -1104,11 +1249,11 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=440):
+def build_rows(n=500):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
     round-robin through the remaining len(FAMILIES)-1 families.  Each
     non-plain family gets floor-or-ceil of n*9/20 / (len(FAMILIES)-1)
-    rows — with 65 families, n=440 yields 198 non-plain rows, >= 3 per
+    rows — with 73 families, n=500 yields 225 non-plain rows, >= 3 per
     family (the invariant test_golden_spark pins); raise n when adding
     families if 9n/20 drops below 3*(len(FAMILIES)-1)."""
     rows = []
