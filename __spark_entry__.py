@@ -4575,7 +4575,13 @@ def bpe_train(spark, sf_dir):
     which steps over runs (' a a a a ' needs two passes), so each round
     applies _BPE_TRAIN_PASSES identical passes — deterministic, identical
     in Spark/DuckDB/the Python replay test, and saturating for runs up to
-    2^passes symbols."""
+    2^passes symbols.
+
+    Plan depth: the rounds chain lazily here (8 rounds -> one deep plan,
+    fine for Catalyst).  A production 30k-merge training run would
+    localCheckpoint the vocab frame every ~16 rounds to truncate lineage
+    — the standard iterative-algorithm shape (connected_components does
+    exactly this) — without changing any per-round plan."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     words = docs.select(
         F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")

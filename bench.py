@@ -245,6 +245,7 @@ def main():
         "llm_corpus_pipeline",
         "bpe_tokenize",
         "bpe_train",
+        "quality_score_auto",
         "crawl_diff_report",
         "quantile_gated_filter",
     ]

@@ -1162,6 +1162,123 @@ def iab_consent_banner(i, rng):
     )
 
 
+def howto_steps(i, rng):
+    """Reference ehow-1/2 analog: how-to page — a 'things you'll need'
+    list, numbered step headings with short bodies, and a tip box; the
+    step structure is the content despite each piece scoring low alone."""
+    need = "".join(f"<li>{_words(rng, 2)}</li>" for _ in range(3))
+    steps = "".join(
+        f"<h3>Step {j + 1}</h3><p>{_words(rng, 10)}.</p>" for j in range(4)
+    )
+    return (
+        f'<html><body><div class="howto"><h1>{_words(rng, 5).title()}</h1>'
+        f'<div class="things-needed"><h2>Things You\'ll Need</h2><ul>{need}</ul></div>'
+        f"{steps}"
+        f'<div class="tip-box"><p>Tip: {_words(rng, 8)}.</p></div>'
+        f"</div></body></html>"
+    )
+
+
+def release_notes(i, rng):
+    """Reference mozilla-2/v8-blog analog: release-notes page — h2
+    version sections whose content is feature <ul> lists (genuine list
+    content, not chrome) plus a download-button block that is."""
+    feats = "".join(f"<li>{_words(rng, 6)}</li>" for _ in range(4))
+    return (
+        f"<html><body><article><h1>Release {i % 20}.0 Notes</h1>"
+        f"<h2>New Features</h2><ul>{feats}</ul>"
+        f"<h2>Fixed</h2><p>{_words(rng, 12)}.</p>"
+        f'<div class="download-button cta"><a href="/dl/{i}">Download now</a></div>'
+        f"</article></body></html>"
+    )
+
+
+def fandom_infocard(i, rng):
+    """Reference wikia analog: fan-wiki page — portable infocard aside,
+    per-section edit links riding the headings, and a trivia section;
+    edit-link spans are chrome inside otherwise-content headings."""
+    card = "".join(
+        f'<div class="pi-item"><h3>{_words(rng, 1)}</h3><div>{_words(rng, 2)}</div></div>'
+        for _ in range(3)
+    )
+    return (
+        f'<html><body><aside class="portable-infobox">{card}</aside>'
+        f'<h2>Biography <span class="mw-editsection"><a href="/edit/{i}">edit</a></span></h2>'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 12)}.</p>"
+        f"<h2>Trivia</h2><ul><li>{_words(rng, 7)}</li><li>{_words(rng, 6)}</li></ul>"
+        f"</body></html>"
+    )
+
+
+def wire_allcaps_lede(i, rng):
+    """Reference breitbart/tmz wire analog: short wire story whose lede
+    sentence is ALL CAPS, followed by a related-links list — casing must
+    survive byte-identically and the related block must drop."""
+    rel = "".join(f'<a href="/rel/{j}">{_words(rng, 4)}</a>' for j in range(4))
+    return (
+        f'<html><body><div class="article-wire">'
+        f"<p>{_words(rng, 8).upper()} — {_words(rng, 10)}.</p>"
+        f"<p>{_words(rng, 13)}.</p>"
+        f'<div class="related-links rightrail">{rel}</div>'
+        f"</div></body></html>"
+    )
+
+
+def inline_formatting_soup(i, rng):
+    """Reference basic-tags-cleaning analog: content dense with inline
+    b/i/em/strong/u plus deprecated center/big wrappers — inline tags
+    survive in content, deprecated block wrappers must not break
+    paragraph scoring."""
+    return (
+        f"<html><body><center><big>{_words(rng, 4).title()}</big></center>"
+        f"<p><b>{_words(rng, 2)}</b> {_words(rng, 8)} <i>{_words(rng, 2)}</i> "
+        f"<em>{_words(rng, 2)}</em>.</p>"
+        f"<p><strong>{_words(rng, 3)}</strong> {_words(rng, 9)} <u>{_words(rng, 2)}</u>.</p>"
+        f"<p>{_words(rng, 11)}.</p></body></html>"
+    )
+
+
+def nested_duplicate_body(i, rng):
+    """Reference bug-1255978 analog: the same prose present at two nesting
+    levels (a wrapper whose only child repeats its text signal) — score
+    propagation must not double-count and the selection must stay stable."""
+    core = f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p>"
+    return (
+        f'<html><body><div class="outer-article">'
+        f'<div class="inner-article">{core}</div>'
+        f"</div><p>{_words(rng, 9)}.</p></body></html>"
+    )
+
+
+def amp_components(i, rng):
+    """AMP-page analog (modern webtext reality): amp-img/amp-ad custom
+    elements inside content — unknown elements parse as generic
+    containers, amp-ad chrome drops with its class, amp-img contributes
+    no text."""
+    return (
+        f"<html><body><article>"
+        f"<p>{_words(rng, 14)}.</p>"
+        f'<amp-img src="/amp/{i}.jpg" width="600" height="400"></amp-img>'
+        f'<amp-ad class="advertisement" width="300" height="250"></amp-ad>'
+        f"<p>{_words(rng, 12)}.</p><p>{_words(rng, 10)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def print_edition_chrome(i, rng):
+    """Reference telegraph/seattletimes print-chrome analog: skip-to-
+    content anchor, a print/subscribe utility bar, and a copyright
+    footer — all boilerplate bracketing a plain story."""
+    return (
+        f'<html><body><a class="skip-link" href="#main">Skip to content</a>'
+        f'<div class="utility-bar"><a href="/print/{i}">Print</a>'
+        f'<a href="/subscribe">Subscribe</a></div>'
+        f'<main id="main"><p>{_words(rng, 15)}.</p><p>{_words(rng, 13)}.</p></main>'
+        f'<footer class="site-footer"><p>© 2026 Example Media. {_words(rng, 4)}.</p></footer>'
+        f"</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -1236,6 +1353,14 @@ FAMILIES = [
     ("tmz_caption_gallery", tmz_caption_gallery),
     ("spiceworks_forum_answer", spiceworks_forum_answer),
     ("iab_consent_banner", iab_consent_banner),
+    ("howto_steps", howto_steps),
+    ("release_notes", release_notes),
+    ("fandom_infocard", fandom_infocard),
+    ("wire_allcaps_lede", wire_allcaps_lede),
+    ("inline_formatting_soup", inline_formatting_soup),
+    ("nested_duplicate_body", nested_duplicate_body),
+    ("amp_components", amp_components),
+    ("print_edition_chrome", print_edition_chrome),
 ]
 
 
@@ -1249,11 +1374,11 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=500):
+def build_rows(n=560):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
     round-robin through the remaining len(FAMILIES)-1 families.  Each
     non-plain family gets floor-or-ceil of n*9/20 / (len(FAMILIES)-1)
-    rows — with 73 families, n=500 yields 225 non-plain rows, >= 3 per
+    rows — with 81 families, n=560 yields 252 non-plain rows, >= 3 per
     family (the invariant test_golden_spark pins); raise n when adding
     families if 9n/20 drops below 3*(len(FAMILIES)-1)."""
     rows = []
