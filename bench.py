@@ -271,22 +271,30 @@ def main():
     # noise on a shared VM is strictly ADDITIVE (a contended run is only
     # ever slower), so min-of-reps estimates the uncontended wall and is
     # more run-to-run stable than the median; raw samples ship in the sidecar
-    queries = {n: round(min(s), 3) for n, s in samples.items()}
+    # 2-decimal mins: the driver's stdout tail window is exactly 2000 chars
+    # (BENCH_r01-03 tails) and a 65-query dict at 3 decimals measured 1992
+    # chars — a 7-char margin.  2 decimals + the slim key set below keeps
+    # the line ~1900 chars with headroom for more queries; full-precision
+    # mins and raw per-rep samples ship in the sidecar.
+    queries = {n: round(min(s), 2) for n, s in samples.items()}
     docs_per_sec = (
         docs / queries["extract_flagship"] if queries["extract_flagship"] > 0 else 0.0
     )
-    total = round(sum(queries.values()), 3)
+    total = round(sum(queries.values()), 2)
     headline = {
         "metric": "headline_queries_wall",
         "value": total,
         "unit": "sec",
         "queries": queries,
         "sf": sf,
-        "docs": int(docs),
         "docs_per_sec": round(docs_per_sec, 1),
+    }
+    sidecar_meta = {
+        "docs": int(docs),
         "cpus": int(cpus),
         "replicate": factor,
         "reps": reps,
+        "queries_3dp": {n: round(min(s), 3) for n, s in samples.items()},
     }
     # Raw per-rep samples go to a sidecar file, NOT the stdout line: the
     # driver captures only the tail of stdout, and round 4's line (with
@@ -299,6 +307,7 @@ def main():
             json.dumps(
                 {
                     "headline": headline,
+                    **sidecar_meta,
                     "samples": {
                         n: [round(x, 3) for x in s] for n, s in samples.items()
                     },

@@ -1279,6 +1279,303 @@ def print_edition_chrome(i, rng):
     )
 
 
+def aclu_action_rail(i, rng):
+    """Reference aclu analog: advocacy press release — donate/take-action
+    CTA blocks and a share rail bracketing the statement prose.  The
+    share rail ('social') drops in the default pipeline (unlikely-
+    candidates regex); the CTA block drops only on the scored path,
+    where the quoted attorney statement survives — both paths are
+    golden-pinned."""
+    return (
+        f'<html><body><div class="press-release">'
+        f"<h1>{_words(rng, 6).title()}</h1>"
+        f'<div class="promo action-cta"><a href="/act/{i}">Take Action</a>'
+        f'<a href="/donate">Donate</a></div>'
+        f"<p>{_words(rng, 16)}.</p>"
+        f"<p>“{_words(rng, 12).capitalize()},” said {_words(rng, 2).title()}, "
+        f"staff attorney. “{_words(rng, 10).capitalize()}.”</p>"
+        f"<p>{_words(rng, 13)}.</p>"
+        f'<div class="share-rail social"><a href="/s/fb">Share</a>'
+        f'<a href="/s/tw">Tweet</a></div>'
+        f"</div></body></html>"
+    )
+
+
+def ao3_work_meta(i, rng):
+    """Reference archive-of-our-own analog: fanwork page — a metadata
+    tag table (rating/fandom/relationship rows of links), author notes
+    module, then chapter prose.  The default pipeline keeps all three
+    (none match the unlikely regex); the scored path drops the
+    link-dense meta dl and the notes module and selects the userstuff
+    chapter prose — both paths golden-pinned."""
+    tags = "".join(
+        f'<dd class="tags"><a href="/tag/{j}">{_words(rng, 2)}</a></dd>'
+        for j in range(4)
+    )
+    return (
+        f'<html><body><dl class="work meta group"><dt>Fandom:</dt>{tags}</dl>'
+        f'<div class="preface"><h2 class="title">{_words(rng, 4).title()}</h2>'
+        f'<div class="notes module"><p>Notes: {_words(rng, 9)}.</p></div></div>'
+        f'<div class="userstuff"><p>{_words(rng, 16)}.</p>'
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p></div>"
+        f"</body></html>"
+    )
+
+
+def ars_figure_longread(i, rng):
+    """Reference ars-1 analog: tech long-read — intro paragraph, a
+    figure with figcaption (caption text is content-adjacent and kept
+    inside the selected candidate), a page-nav toolbar that drops, and
+    several body paragraphs."""
+    return (
+        f"<html><body><article><h1>{_words(rng, 7).title()}</h1>"
+        f'<p class="intro">{_words(rng, 15)}.</p>'
+        f'<figure><img src="/img/{i}.jpg"><figcaption>Enlarge / '
+        f"{_words(rng, 8)}.</figcaption></figure>"
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 13)}.</p>"
+        f'<nav class="page-numbers pager"><a href="/p/1">1</a>'
+        f'<a href="/p/2">2</a><a href="/p/next">Next</a></nav>'
+        f"</article></body></html>"
+    )
+
+
+def bbc_media_placeholders(i, rng):
+    """Reference bbc-1 analog: broadcaster story — bold intro paragraph,
+    media-player placeholder divs with caption spans interleaved in the
+    prose, and an analysis box with a correspondent byline.  The scored
+    path drops the placeholder (its off-screen caption included) and
+    keeps the analysis box; the default pipeline keeps both, and both
+    paths are golden-pinned."""
+    return (
+        f'<html><body><div class="story-body">'
+        f"<p><b>{_words(rng, 12)}.</b></p>"
+        f'<div class="media-placeholder video"><span class="off-screen">'
+        f"Media playback is unsupported on your device</span></div>"
+        f"<p>{_words(rng, 14)}.</p>"
+        f'<div class="analysis-box"><h2>Analysis</h2>'
+        f"<p>By {_words(rng, 2).title()}, correspondent</p>"
+        f"<p>{_words(rng, 12)}.</p></div>"
+        f"<p>{_words(rng, 11)}.</p></div></body></html>"
+    )
+
+
+def buzzfeed_listicle(i, rng):
+    """Reference buzzfeed-1 analog: numbered listicle — h2 item headings
+    ('1. ...'), a short paragraph and an image-credit attribution line
+    per subbuzz block.  The scored path's candidate selection lands on
+    the item paragraphs (headings and credit lines fall away); the
+    default pipeline keeps the whole list structure — both paths
+    golden-pinned."""
+    items = "".join(
+        f'<div class="subbuzz"><h2>{j + 1}. {_words(rng, 5).title()}</h2>'
+        f"<p>{_words(rng, 11)}.</p>"
+        f'<div class="subbuzz-attribution copyright"><a href="/src/{j}">'
+        f"{_words(rng, 3)}</a></div></div>"
+        for j in range(4)
+    )
+    return (
+        f"<html><body><article><h1>{_words(rng, 8).title()}</h1>"
+        f"{items}</article></body></html>"
+    )
+
+
+def royalroad_chapter(i, rng):
+    """Reference royal-road analog: serial-fiction chapter — prev/next
+    chapter nav buttons above and below, an author-note module, and long
+    chapter prose.  The scored path selects the chapter-content div
+    (both nav blocks and the trailing author note fall outside the
+    candidate); the default pipeline keeps everything — both paths
+    golden-pinned."""
+    nav = (
+        f'<div class="nav-buttons portlet"><a class="btn" href="/ch/{i - 1}">'
+        f'Previous Chapter</a><a class="btn" href="/ch/{i + 1}">Next Chapter</a></div>'
+    )
+    return (
+        f"<html><body>{nav}"
+        f'<div class="chapter-content"><p>{_words(rng, 17)}.</p>'
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 16)}.</p></div>"
+        f'<div class="author-note-portlet"><strong>A note from '
+        f"{_words(rng, 2).title()}</strong><p>{_words(rng, 9)}.</p></div>"
+        f"{nav}</body></html>"
+    )
+
+
+def wordpress_classic(i, rng):
+    """Reference wordpress analog: classic WP post — entry-meta byline
+    line, entry-content body, a sharedaddy share block, and post-nav
+    links.  On the scored path the entry-content body is the selected
+    candidate and meta/share/nav all drop; the default pipeline keeps
+    them (none match the unlikely regex) — both paths golden-pinned."""
+    return (
+        f'<html><body><article class="post hentry">'
+        f'<h1 class="entry-title">{_words(rng, 6).title()}</h1>'
+        f'<div class="entry-meta">Posted on <a href="/2026/01">January {i % 28 + 1}, '
+        f'2026</a> by <span class="author vcard">{_words(rng, 2).title()}</span></div>'
+        f'<div class="entry-content"><p>{_words(rng, 15)}.</p>'
+        f"<p>{_words(rng, 13)}.</p><p>{_words(rng, 12)}.</p></div>"
+        f'<div class="sharedaddy sd-sharing"><h3 class="sd-title">Share this:</h3>'
+        f'<a href="/share/tw">Twitter</a><a href="/share/fb">Facebook</a></div>'
+        f'<nav class="post-navigation"><a href="/prev">← Previous Post</a>'
+        f'<a href="/next">Next Post →</a></nav>'
+        f"</article></body></html>"
+    )
+
+
+def quanta_pullquotes(i, rng):
+    """Reference quanta-1 analog: long-form science feature — body
+    paragraphs interleaved with blockquote pull quotes carrying cite
+    attributions; pull quotes repeat in-body sentences (near-dup text
+    inside one doc) and must not destabilize candidate selection."""
+    s1 = f"{_words(rng, 12).capitalize()}."
+    return (
+        f"<html><body><article><h1>{_words(rng, 7).title()}</h1>"
+        f"<p>{s1} {_words(rng, 10)}.</p>"
+        f'<blockquote class="pullquote"><p>{s1}</p>'
+        f"<cite>{_words(rng, 2).title()}</cite></blockquote>"
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 13)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def lifehacker_deferred_comments(i, rng):
+    """Reference lifehacker-post-comment-load analog: article followed by
+    a deferred comments container (empty div with data-* attrs plus a
+    'Load comments' button).  The empty container is dropped by
+    RemoveEmptyContainers in the default pipeline; the button block drops
+    on the scored path — both golden-pinned."""
+    return (
+        f"<html><body><article><h1>{_words(rng, 6).title()}</h1>"
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 13)}.</p>"
+        f"<p>{_words(rng, 12)}.</p></article>"
+        f'<div class="js_comments-iframe" data-post-id="{i}" data-deferred="1"></div>'
+        f'<div class="load-comments-cta"><a href="#comments">Load comments</a></div>'
+        f"</body></html>"
+    )
+
+
+def cnn_highlights(i, rng):
+    """Reference cnn analog: wire-service story — a 'Story highlights'
+    bullet box beside the body and a '(Source) —' prefixed lede
+    paragraph.  The em-dash lede prefix must survive byte-identically;
+    the highlights box is kept by the default pipeline and falls outside
+    the scored candidate."""
+    hl = "".join(f"<li>{_words(rng, 6)}</li>" for _ in range(3))
+    return (
+        f'<html><body><div class="l-container">'
+        f'<div class="el__storyhighlights"><h4>Story highlights</h4><ul>{hl}</ul></div>'
+        f'<div class="zn-body"><p>(Example News) — {_words(rng, 13)}.</p>'
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p></div>"
+        f"</div></body></html>"
+    )
+
+
+def ebb_plain_essay(i, rng):
+    """Reference ebb-org analog: hand-written classless HTML essay — no
+    divs, no class/id signals anywhere, just h1/p/blockquote directly in
+    body.  Exercises scoring with zero class-weight signal (pure
+    text-length/comma evidence) and the implied-structure parser path."""
+    return (
+        f"<html><head><title>{_words(rng, 5).title()}</title></head><body>"
+        f"<h1>{_words(rng, 5).title()}</h1>"
+        f"<p>{_words(rng, 16)}, {_words(rng, 6)}.</p>"
+        f"<blockquote><p>{_words(rng, 10)}.</p></blockquote>"
+        f"<p>{_words(rng, 14)}, {_words(rng, 5)}.</p>"
+        f"<p>{_words(rng, 12)}.</p></body></html>"
+    )
+
+
+def hukumusume_ruby_story(i, rng):
+    """Reference hukumusume analog: Japanese children's story — CJK prose
+    in short paragraphs with <ruby>base<rt>reading</rt></ruby>
+    annotations.  Ruby parses as a generic container in our HTML5
+    subset, so base and reading text both join text_content (the
+    reference behaves the same); byte-identity covers the multibyte +
+    nested-inline combination."""
+    kanji = ["昔々", "山奥", "村人", "狐", "祭り", "約束"]
+    kana = ["むかしむかし", "やまおく", "むらびと", "きつね", "まつり", "やくそく"]
+    k = i % len(kanji)
+    return (
+        f"<html><body><h1>むかしばなし 第{i % 50}話</h1>"
+        f"<p><ruby>{kanji[k]}<rt>{kana[k]}</rt></ruby>、ある村に狐が住んでいました。"
+        f"{_words(rng, 4)}。</p>"
+        f"<p>村人は<ruby>{kanji[(k + 1) % len(kanji)]}"
+        f"<rt>{kana[(k + 1) % len(kanji)]}</rt></ruby>で狐に会いました。</p>"
+        f"<p>それから、みんなは仲良く暮らしました。{_words(rng, 3)}。</p>"
+        f"</body></html>"
+    )
+
+
+def lemonde_dateline(i, rng):
+    """Reference lemonde-1/la-nacion analog: European-language article —
+    html lang attribute, 'Par <author>' byline line with a 'Publié le'
+    dateline, and French punctuation spacing (« guillemets », n'...)
+    that must survive byte-identically."""
+    return (
+        f'<html lang="fr"><body><article>'
+        f"<h1>{_words(rng, 6).title()}</h1>"
+        f'<p class="meta-byline">Par {_words(rng, 2).title()} · Publié le '
+        f"{i % 28 + 1} janvier 2026</p>"
+        f"<p>« {_words(rng, 10).capitalize()} », a déclaré le ministre. "
+        f"L'enquête {_words(rng, 8)}.</p>"
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def theverge_hero_newsletter(i, rng):
+    """Reference theverge analog: feature page — hero figure with photo
+    credit, a mid-article newsletter-signup module, and body prose.  The
+    signup module ('newsletter' hits the negative/unlikely signals on
+    the scored path); the hero credit rides the figure's figcaption."""
+    return (
+        f"<html><body><article>"
+        f'<figure class="hero"><img src="/hero/{i}.jpg">'
+        f"<figcaption>Photo: {_words(rng, 2).title()} / Example</figcaption></figure>"
+        f"<h1>{_words(rng, 7).title()}</h1>"
+        f"<p>{_words(rng, 15)}.</p>"
+        f'<div class="newsletter-signup sidebar"><h3>Sign up for the newsletter</h3>'
+        f'<form action="/subscribe"><input type="email"><button>Subscribe</button></form></div>'
+        f"<p>{_words(rng, 14)}.</p><p>{_words(rng, 12)}.</p>"
+        f"</article></body></html>"
+    )
+
+
+def seo_breadcrumb_tagcloud(i, rng):
+    """Reference topicseed-1/simplyfound-1 analog: SEO-heavy blog post —
+    breadcrumb trail above, tag cloud and prev/next teasers below.
+    'breadcrumbs' matches the unlikely regex so the trail drops in the
+    default pipeline; the tag cloud and teasers drop on the scored
+    path."""
+    tags = "".join(f'<a href="/tag/{j}" rel="tag">{_words(rng, 1)}</a>' for j in range(6))
+    return (
+        f'<html><body><nav class="breadcrumbs"><a href="/">Home</a> › '
+        f'<a href="/blog">Blog</a> › <span>{_words(rng, 3)}</span></nav>'
+        f"<article><h1>{_words(rng, 6).title()}</h1>"
+        f"<p>{_words(rng, 15)}.</p><p>{_words(rng, 14)}.</p></article>"
+        f'<div class="tag-cloud">{tags}</div>'
+        f'<div class="post-teasers related"><a href="/prev/{i}">{_words(rng, 5)}</a>'
+        f'<a href="/next/{i}">{_words(rng, 5)}</a></div>'
+        f"</body></html>"
+    )
+
+
+def wikipedia_citations(i, rng):
+    """Reference wikipedia-3 analog: encyclopedia body text with
+    [n]-style citation superscripts, a hatnote line, and a references
+    ordered list.  Sup/cite brackets must survive byte-identically
+    inside content; the hatnote div and reflist drop only on the scored
+    path."""
+    refs = "".join(f"<li>{_words(rng, 6)}. Press {j}.</li>" for j in range(3))
+    return (
+        f'<html><body><div class="hatnote">This page is about {_words(rng, 3)}. '
+        f'For other uses, see <a href="/d/{i}">{_words(rng, 2)}</a>.</div>'
+        f"<p>{_words(rng, 12)}<sup>[1]</sup> {_words(rng, 8)}.<sup>[2]</sup></p>"
+        f"<p>{_words(rng, 14)}.</p>"
+        f'<h2>References</h2><div class="reflist"><ol>{refs}</ol></div>'
+        f"</body></html>"
+    )
+
+
 FAMILIES = [
     ("plain_article", plain_article),
     ("title_separator", title_separator),
@@ -1361,6 +1658,22 @@ FAMILIES = [
     ("nested_duplicate_body", nested_duplicate_body),
     ("amp_components", amp_components),
     ("print_edition_chrome", print_edition_chrome),
+    ("aclu_action_rail", aclu_action_rail),
+    ("ao3_work_meta", ao3_work_meta),
+    ("ars_figure_longread", ars_figure_longread),
+    ("bbc_media_placeholders", bbc_media_placeholders),
+    ("buzzfeed_listicle", buzzfeed_listicle),
+    ("royalroad_chapter", royalroad_chapter),
+    ("wordpress_classic", wordpress_classic),
+    ("quanta_pullquotes", quanta_pullquotes),
+    ("lifehacker_deferred_comments", lifehacker_deferred_comments),
+    ("cnn_highlights", cnn_highlights),
+    ("ebb_plain_essay", ebb_plain_essay),
+    ("hukumusume_ruby_story", hukumusume_ruby_story),
+    ("lemonde_dateline", lemonde_dateline),
+    ("theverge_hero_newsletter", theverge_hero_newsletter),
+    ("seo_breadcrumb_tagcloud", seo_breadcrumb_tagcloud),
+    ("wikipedia_citations", wikipedia_citations),
 ]
 
 
@@ -1374,11 +1687,11 @@ class FixtureRow:
     family: str
 
 
-def build_rows(n=560):
+def build_rows(n=660):
     """n deterministic pages rows: ~55% plain_article, the rest cycling
     round-robin through the remaining len(FAMILIES)-1 families.  Each
     non-plain family gets floor-or-ceil of n*9/20 / (len(FAMILIES)-1)
-    rows — with 81 families, n=560 yields 252 non-plain rows, >= 3 per
+    rows — with 97 families, n=660 yields 297 non-plain rows, >= 3 per
     family (the invariant test_golden_spark pins); raise n when adding
     families if 9n/20 drops below 3*(len(FAMILIES)-1)."""
     rows = []

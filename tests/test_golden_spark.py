@@ -25,10 +25,10 @@ from readability_spark.fixtures import build_rows, golden_for
 from readability_spark.spark.job import extract_articles, run_job
 from readability_spark.spark.session import get_spark
 
-# 81 families: 9/20 of rows cycle the 80 non-plain families, so the >=3-
-# per-family invariant needs N_ROWS*9/20 >= 3*80 = 240; 560 gives 252
-# (slack for four more families before this needs raising again)
-N_ROWS = 560
+# 97 families: 9/20 of rows cycle the 96 non-plain families, so the >=3-
+# per-family invariant needs N_ROWS*9/20 >= 3*96 = 288; 660 gives 297
+# (slack for three more families before this needs raising again)
+N_ROWS = 660
 
 
 @pytest.fixture(scope="module")
@@ -105,7 +105,7 @@ def test_every_family_present(fixture_rows):
     from readability_spark.fixtures import FAMILIES
 
     counts = Counter(r.family for r in fixture_rows)
-    assert len(counts) == len(FAMILIES) == 81
+    assert len(counts) == len(FAMILIES) == 97
     assert min(counts.values()) >= 3
 
 
