@@ -2004,6 +2004,97 @@ def ann_ivf_topk(spark, sf_dir):
     return textops.ann_ivf_topk(emb, centroids, query, k=10)
 
 
+#: ivf_train contract constants: K centroids, Lloyd iterations.  A
+#: production IVF index trains K ~ sqrt(corpus) (e.g. 4096-65536) for ~10
+#: iterations; 4x3 keeps the unrolled DuckDB oracle readable — the
+#: per-iteration plan shape is identical at any K/iters
+_IVF_TRAIN_K = 4
+_IVF_TRAIN_ITERS = 3
+_IVF_TRAIN_FP = float(textops.IVF_TRAIN_FP)
+
+
+def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
+    """Unrolled DuckDB replay of the Lloyd loop: per iteration one
+    argmax-cosine assignment (row_number window over the K-row centroid
+    frame) and one fixed-point per-cluster mean, as plain CTEs."""
+
+    def assign(prev_c, i):
+        return f"""
+    a{i} AS (
+      SELECT vec_id, e, cid FROM (
+        SELECT x.vec_id, x.e, c.cid,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 list_dot_product(x.e, c.cvec)
+                 / (sqrt(list_dot_product(x.e, x.e))
+                    * sqrt(list_dot_product(c.cvec, c.cvec)))
+                 DESC, c.cid ASC) AS rn
+        FROM e x, {prev_c} c) WHERE rn = 1
+    ),
+    s{i} AS (
+      SELECT cid, u.pos - 1 AS pos,
+             sum(CAST(floor(e[u.pos] * {fp} + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a{i}, UNNEST(generate_series(1, len(e))) AS u(pos)
+      GROUP BY 1, 2
+    )"""
+
+    def update(i):
+        return f""",
+    c{i} AS (
+      SELECT p.cid, COALESCE(m.cvec, p.cvec) AS cvec
+      FROM c{i - 1} p LEFT JOIN (
+        SELECT cid,
+               list_transform(
+                 list_sort(list({{'p': pos, 'm': CAST(s AS DOUBLE) / n / {fp}}})),
+                 r -> r.m) AS cvec
+        FROM s{i} GROUP BY cid) m ON p.cid = m.cid
+    )"""
+
+    sql = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings WHERE vec_id < {k}
+    ),{assign("c0", 1)[5:]}"""
+    for i in range(2, iters + 1):
+        sql += update(i - 1) + "," + assign(f"c{i - 1}", i)
+    return (
+        sql
+        + f"""
+    SELECT cid AS centroid_id, pos, CAST(s AS BIGINT) AS sum_fixed,
+           CAST(n AS BIGINT) AS cluster_size,
+           round(CAST(s AS DOUBLE) / n / {fp}, 6) AS centroid
+    FROM s{iters}
+    """
+    )
+
+
+@_q("ivf_train", _ivf_train_sql())
+def ivf_train(spark, sf_dir):
+    """IVF codebook TRAINING (textops.ivf_train) — Lloyd's k-means over
+    the embedding corpus, completing the ANN story the way `bpe_train`
+    completes `bpe_tokenize`: `ann_ivf_topk` consumes a codebook, this
+    learns it.  Deterministic init (vec_id < K, the same seed set the
+    serving query uses today), K=4 centroids, 3 iterations.
+
+    Scale shape: per iteration the corpus is scanned once and NEVER
+    shuffled — assignment is a map-side array_max fold over the K-row
+    codebook collapsed to ONE broadcast row (K is a contract constant),
+    and the mean update is one bounded-output groupBy(cid, pos) whose
+    map-side combine caps the shuffle at K*dim rows per task.  Centroid
+    means are exact fixed-point integer sums (order-independent, so the
+    DuckDB oracle replays the full loop hash-exactly); all cosine
+    arithmetic is forced to double with the proven `topk_cosine` fold.
+    Output: the trained codebook as flat (centroid_id, pos, sum_fixed,
+    cluster_size, centroid) rows, consumable via
+    `textops.codebook_from_training` (unit-tested against
+    `ann_ivf_topk`)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.ivf_train(emb, k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS)
+
+
 @_q(
     "fingerprint",
     "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",

@@ -248,6 +248,8 @@ def main():
         "quality_score_auto",
         "crawl_diff_report",
         "quantile_gated_filter",
+        # round-5 operators
+        "ivf_train",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

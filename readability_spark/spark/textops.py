@@ -361,6 +361,129 @@ def ann_ivf_topk(
     )
 
 
+#: fixed-point scale for ivf_train's centroid-mean sums: quantizing each
+#: coordinate to round(x * 2^20) makes the per-cluster sums exact integers,
+#: so the learned means are bit-identical regardless of aggregation order
+#: (double summation over a shuffled corpus is order-dependent; integer
+#: summation is not) — the property that lets a DuckDB oracle replay the
+#: whole training loop hash-exactly
+IVF_TRAIN_FP = 1 << 20
+
+
+def ivf_train(
+    emb: DataFrame,
+    k=4,
+    iters=3,
+    id_col="vec_id",
+    vec_col="embedding",
+    fp=IVF_TRAIN_FP,
+) -> DataFrame:
+    """Train the IVF coarse codebook itself — Lloyd's k-means over the
+    embedding corpus, the missing half next to `ivf_assign`/`ann_ivf_topk`
+    which consume an already-trained codebook (the same completion
+    `bpe_train` is to `bpe_tokenize`).
+
+    Per iteration (the classic distributed-Lloyd shape, cf. spark.ml
+    KMeans):
+
+    1. **assign** — the current K centroids are collapsed into ONE row
+       (``collect_list`` of (cid, cvec) structs; K is a contract constant,
+       so the row is bounded) and broadcast; every corpus vector computes
+       its max-cosine centroid MAP-SIDE via an ``array_max`` fold over the
+       broadcast codebook — no corpus shuffle, no argmax groupBy, the
+       `ivf_assign` expression with the literal codebook swapped for a
+       broadcast column so the whole loop stays lazy in one plan.
+       Tie-break: higher cosine, then lower centroid_id.
+    2. **update** — per-cluster mean via ONE bounded-output aggregate:
+       posexplode the fixed-point-quantized coordinates and
+       ``groupBy(centroid_id, pos)``; map-side combine reduces the shuffle
+       to <= K*dim rows per map task no matter the corpus size.  Empty
+       clusters keep their previous centroid (standard Lloyd convention),
+       via a K-row left join.
+
+    The corpus is scanned once per iteration and NEVER shuffled — the only
+    exchanges carry <= K*dim aggregate rows.  All cosine arithmetic is
+    forced to double (parquet embeddings are float32) with the same
+    left-to-right fold as `topk_cosine`/`decontam_semantic`, and the means
+    fed into iteration i+1 are derived from exact integer sums, so both
+    engines run iteration i+1 on IDENTICAL doubles.
+
+    Returns the trained codebook as flat rows — the post-final-assignment
+    cluster stats: (centroid_id, pos, sum_fixed, cluster_size, centroid)
+    where centroid = sum_fixed / cluster_size / fp rounded to 6 dp.
+    Feed through `codebook_from_training` to consume it with
+    `ann_ivf_topk`."""
+    vec = F.col(vec_col).cast("array<double>")
+    emb_d = emb.select(F.col(id_col), vec.alias("v"))
+    cent = emb_d.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cvec")
+    )
+    quant = F.transform(
+        F.col("v"), lambda x: F.floor(x * F.lit(float(fp)) + F.lit(0.5))
+    )
+    stats = None
+    for _ in range(iters):
+        cb = cent.agg(F.collect_list(F.struct("cid", "cvec")).alias("cb"))
+        best = F.array_max(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(
+                    _cosine(F.col("v"), c["cvec"]).alias("cc"),
+                    (-c["cid"]).alias("neg"),
+                ),
+            )
+        )
+        assigned = emb_d.crossJoin(F.broadcast(cb)).select(
+            F.col(id_col), F.col("v"), (-best["neg"]).alias("cid")
+        )
+        stats = (
+            assigned.select("cid", F.posexplode(quant).alias("pos", "qv"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        mean = F.col("s").cast("double") / F.col("n") / F.lit(float(fp))
+        rebuilt = stats.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), mean.alias("m")))),
+                lambda r: r["m"],
+            ).alias("mvec")
+        )
+        cent = cent.join(rebuilt, "cid", "left").select(
+            "cid", F.coalesce(F.col("mvec"), F.col("cvec")).alias("cvec")
+        )
+    if stats is None:  # iters == 0: degenerate, return the init stats shape
+        stats = (
+            emb_d.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("cid"), F.posexplode(quant).alias("pos", "qv"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+    mean = F.col("s").cast("double") / F.col("n") / F.lit(float(fp))
+    return stats.select(
+        F.col("cid").alias("centroid_id"),
+        F.col("pos"),
+        F.col("s").cast("long").alias("sum_fixed"),
+        F.col("n").cast("long").alias("cluster_size"),
+        F.round(mean, 6).alias("centroid"),
+    )
+
+
+def codebook_from_training(trained: DataFrame):
+    """Collect `ivf_train` output (bounded by K*dim rows, a contract
+    constant) into the (cid, [double]) codebook list `ivf_assign` and
+    `ann_ivf_topk` consume — centroids reconstructed from the exact
+    integer sums, not the rounded display column."""
+    rows = trained.select("centroid_id", "pos", "sum_fixed", "cluster_size").collect()
+    by_cid = {}
+    for r in rows:
+        by_cid.setdefault(int(r[0]), []).append(
+            (int(r[1]), int(r[2]) / int(r[3]) / float(IVF_TRAIN_FP))
+        )
+    return [
+        (cid, [m for _, m in sorted(dims)]) for cid, dims in sorted(by_cid.items())
+    ]
+
+
 def winnow_fingerprints(
     docs: DataFrame, k=5, w=4, id_col="doc_id", text_col="text"
 ) -> DataFrame:

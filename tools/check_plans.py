@@ -553,6 +553,31 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l3. IVF codebook training (Lloyd's k-means): NO Python anywhere,
+    # nothing cartesian (the per-iteration codebook joins back as a
+    # 1-row broadcast — BroadcastNestedLoopJoin on that side is the
+    # intended cross shape), no SortMergeJoin (the K-row empty-cluster
+    # join must broadcast), and no global sort of the corpus.  The only
+    # exchanges carry bounded aggregate rows: per iteration one
+    # groupBy(cid, pos) mean update (<= K*dim rows post map-combine),
+    # one K-row codebook rebuild, and one single-row collect_list (<= 4
+    # bounded exchanges x 3 iterations, measured 11 static) — the corpus
+    # itself is scanned once per iteration and never shuffled.
+    check(
+        "ivf_train_bounded_aggs_no_corpus_shuffle",
+        allq["ivf_train"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"Sort\b.*global=true",
+        ],
+        max_exchanges=12,
+        materialize=True,
+    )
+
     # 34l. BPE tokenize: the Python stage (ArrowEvalPython/MapInPandas)
     # must sit on the DISTINCT-vocabulary branch, and the corpus joins
     # the piece dim without anything cartesian
@@ -715,6 +740,11 @@ def main():
     BROADCAST_ALLOWLIST = {
         "readability_spark/spark/textops.py": [
             ("F.broadcast(q)", "ANN query set — user-supplied, small by contract"),
+            (
+                "F.broadcast(cb)",
+                "ivf_train per-iteration codebook collapsed to ONE row of K "
+                "structs — K is a contract constant, not data-dependent",
+            ),
         ],
         "__spark_entry__.py": [
             ("F.broadcast(bench)", "benchmark suite — capped at doc_id < 500"),
