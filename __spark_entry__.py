@@ -3736,6 +3736,87 @@ def sequence_pack(spark, sf_dir):
     )
 
 
+@_q(
+    "host_reputation_filter",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END AS host,
+             text
+      FROM documents WHERE trim(text) != ''
+    ),
+    p AS (
+      SELECT doc_id, host,
+             CASE WHEN doc_id % 3 = 0 AND len(host) = 5
+                  THEN 'host boilerplate notice ' || host ELSE text END AS t
+      FROM d
+    ),
+    s AS (
+      SELECT host, count(*) AS host_docs,
+             avg(len(string_split(trim(t), ' '))) AS aw,
+             1.0 - (count(DISTINCT md5(t)) * 1.0 / count(*)) AS dup
+      FROM p GROUP BY host
+    )
+    SELECT p.doc_id, p.host,
+           CAST(s.host_docs AS BIGINT) AS host_docs,
+           round(s.aw, 4) AS avg_words,
+           round(s.dup, 4) AS dup_rate
+    FROM p JOIN s ON p.host = s.host
+    WHERE s.aw >= 52.0 AND s.dup <= 0.10
+    """,
+)
+def host_reputation_filter(spark, sf_dir):
+    """Host-level reputation filtering — the FineWeb/RefinedWeb-style
+    curation lane that judges a whole HOST, not a document: per-host
+    mean word count and within-host duplicate rate (the boilerplate-farm
+    signal), verdict joined back so every document from a failing host
+    drops at once.  Deterministic boilerplate is planted on the
+    five-char hosts (doc_id % 3 == 0 rows share one host-level string;
+    3 is coprime with the 20-way source split, so every such host is hit)
+    so both verdict lanes are active: those hosts fail the dup-rate cap,
+    and the word-count bar splits the remaining hosts on their real
+    fixture means.
+
+    Scale shape: the host dimension is DATA-DEPENDENT (a 10^12-doc crawl
+    has ~10^8 registered hosts), so — unlike the fixed-size codebooks
+    and rule tables this file broadcasts by hint — the verdict join-back
+    carries NO F.broadcast(): AQE measures the reputable-host frame at
+    runtime and broadcasts it when it fits (it does at this sf,
+    plan-gated) or falls back to a shuffled hash join on `host` at
+    scale, where the corpus side is already hash-partitioned by the
+    groupBy's own exchange.  The rollup itself is one map-combined
+    aggregate (one row per host); nothing corpus-sized crosses the
+    driver.  Both quality signals are exact rationals (integer word
+    counts, distinct-over-count), so the DuckDB oracle hash-matches
+    without fixed-point tricks."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    host = F.when(F.col("doc_id") % 10 < 4, F.lit("hot")).otherwise(F.col("source"))
+    planted = F.when(
+        (F.col("doc_id") % 3 == 0) & (F.length(F.col("host")) == 5),
+        F.concat(F.lit("host boilerplate notice "), F.col("host")),
+    ).otherwise(F.col("text"))
+    p = docs.select("doc_id", host.alias("host"), "text").select(
+        "doc_id", "host", planted.alias("t")
+    )
+    words = F.size(F.split(F.trim(F.col("t")), " "))
+    stats = p.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_docs"),
+        F.avg(words).alias("aw"),
+        (
+            F.lit(1.0)
+            - F.count_distinct(F.md5("t")).cast("double") / F.count(F.lit(1))
+        ).alias("dup"),
+    )
+    reputable = stats.filter((F.col("aw") >= 52.0) & (F.col("dup") <= 0.10))
+    return p.join(reputable, "host").select(
+        "doc_id",
+        "host",
+        F.col("host_docs").cast("long").alias("host_docs"),
+        F.round("aw", 4).alias("avg_words"),
+        F.round("dup", 4).alias("dup_rate"),
+    )
+
+
 #: URL blocklist (UT1-style category list, tiny stand-in): exact-host
 #: rules and wildcard-subdomain suffix rules.  At production scale the
 #: list is ~4M domains — then it becomes a broadcast-hash-join table on

@@ -250,6 +250,7 @@ def main():
         "quantile_gated_filter",
         # round-5 operators
         "ivf_train",
+        "host_reputation_filter",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -553,6 +553,20 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l4. Host reputation filter: the verdict join-back is UNHINTED
+    # (host cardinality is data-dependent — the source-level broadcast
+    # audit below guarantees no F.broadcast() here) and AQE must still
+    # convert it to a broadcast join at this sf; the rollup is one
+    # map-combined host aggregate; nothing cartesian, no corpus sort.
+    check(
+        "host_reputation_unhinted_aqe_join",
+        allq["host_reputation_filter"](spark, SF_DIR),
+        must=[r"HashAggregate", r"BroadcastHashJoin"],
+        must_not=[r"CartesianProduct", r"Sort\b.*global=true"],
+        max_exchanges=4,
+        materialize=True,
+    )
+
     # 34l3. IVF codebook training (Lloyd's k-means): NO Python anywhere,
     # nothing cartesian (the per-iteration codebook joins back as a
     # 1-row broadcast — BroadcastNestedLoopJoin on that side is the
