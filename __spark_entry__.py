@@ -1869,6 +1869,126 @@ def minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(docs, num_hashes=16, band_size=4, threshold=0.5)
 
 
+#: shared CTE prefix for the LSH queries: tokens + 16 md5 minhash lanes +
+#: 4x4 banding + candidate pairs over the doc_id < 300 evaluation sample
+_LSH_CAND_CTES = """
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND trim(text) != ''),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    minh0 AS (
+      SELECT doc_id, a,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 1, 8))  AS m0,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 9, 8))  AS m1,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 17, 8)) AS m2,
+             min(substr(md5(cast(a AS varchar) || ':' || token), 25, 8)) AS m3
+      FROM tok, range(4) r(a) GROUP BY doc_id, a
+    ),
+    minh AS (
+      SELECT doc_id, a * 4 + lb.b AS k,
+             CASE lb.b WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2 ELSE m3 END AS mh
+      FROM minh0, range(4) lb(b)
+    ),
+    bands AS (
+      SELECT doc_id, cast(k // 4 AS int) AS band,
+             md5(string_agg(mh, '' ORDER BY k)) AS bkey
+      FROM minh GROUP BY doc_id, cast(k // 4 AS int)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )"""
+
+
+@_q(
+    "lsh_recall_report",
+    f"""
+    WITH {_LSH_CAND_CTES},
+    sizes AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, count(*) AS shared
+      FROM tok ta JOIN tok tb
+        ON ta.token = tb.token AND ta.doc_id < tb.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5
+    ),
+    verified AS (
+      SELECT doc_a, doc_b FROM truth
+      WHERE (doc_a, doc_b) IN (SELECT (doc_a, doc_b) FROM cand)
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_true_pairs,
+           CAST(c.n AS BIGINT) AS n_candidates,
+           CAST(v.n AS BIGINT) AS n_verified,
+           CASE WHEN t.n > 0 THEN round(v.n * 1.0 / t.n, 4) END AS recall,
+           CASE WHEN c.n > 0 THEN round(v.n * 1.0 / c.n, 4) END AS banding_precision
+    FROM (SELECT count(*) AS n FROM truth) t,
+         (SELECT count(*) AS n FROM cand) c,
+         (SELECT count(*) AS n FROM verified) v
+    """,
+)
+def lsh_recall_report(spark, sf_dir):
+    """LSH parameter evaluation — the tuning lane a team runs BEFORE
+    committing a (num_hashes, band_size) choice to a 10^12-doc dedup job:
+    measured recall and banding precision of the MinHash(16)/4x4 tier at
+    the Jaccard-0.5 operating threshold, against exact all-pairs truth on
+    a bounded sample (doc_id < 300 — the only place all-pairs truth is
+    affordable, and the production pattern: recall is estimated on a
+    sample, never the corpus).  recall = |truth ∩ candidates| / |truth|
+    (the verify stage keeps exactly the true candidates, so missed truth
+    = banding misses); banding_precision = |truth ∩ candidates| /
+    |candidates| (how much verify work the bucket join induces).
+
+    Scale shape: every frame descends from the bounded sample; the only
+    quadratic step (exact truth) is the point of the harness and is
+    bounded by construction.  One row out; all-integer counts plus exact
+    rational ratios, so the oracle hash-matches trivially."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    tok = textops.tokens(docs)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tok.alias("ta"), tok.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.doc_id") < F.col("tb.doc_id")),
+        )
+        .groupBy(
+            F.col("ta.doc_id").alias("doc_a"), F.col("tb.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("shared")
+    )
+    truth = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    cand = textops.lsh_candidate_pairs(tok, num_hashes=16, band_size=4)
+    verified = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t = truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    c = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    v = verified.agg(F.count(F.lit(1)).alias("n_verified"))
+    rep = t.crossJoin(c).crossJoin(v)
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(F.col(den) > 0, F.col(num).cast("double") / F.col(den)), 4
+    )
+    return rep.select(
+        "n_true_pairs",
+        "n_candidates",
+        "n_verified",
+        ratio("n_verified", "n_true_pairs").alias("recall"),
+        ratio("n_verified", "n_candidates").alias("banding_precision"),
+    )
+
+
 @_q(
     "simhash_fingerprint",
     """

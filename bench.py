@@ -251,6 +251,7 @@ def main():
         # round-5 operators
         "ivf_train",
         "host_reputation_filter",
+        "lsh_recall_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)
@@ -320,7 +321,16 @@ def main():
     except OSError:
         pass  # sidecar is best-effort; the headline line below is the contract
     spark.stop()
-    print(json.dumps(headline))
+    # the driver captures only the last ~2000 chars of stdout: if catalog
+    # growth ever pushes the 2-decimal line past a 1950-char safety margin,
+    # degrade the stdout copy to 1 decimal (full precision always ships in
+    # the sidecar's queries_3dp) rather than risk an uncapturable line
+    line = json.dumps(headline)
+    if len(line) > 1950:
+        headline["queries"] = {n: round(min(s), 1) for n, s in samples.items()}
+        headline["value"] = round(sum(headline["queries"].values()), 1)
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -112,6 +112,31 @@ def lsh_bands(signatures: DataFrame, band_size=4, id_col="doc_id") -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(
+    tok: DataFrame, num_hashes=16, band_size=4, id_col="doc_id"
+) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from MinHash banding: docs
+    sharing any (band, bkey) bucket, joined on bucket equality only — the
+    single pairwise step of the LSH tier, touching colliding docs only.
+    Factored out of `minhash_lsh_pairs` so evaluation harnesses
+    (`lsh_recall_report`) can measure the banding tier by itself."""
+    bands = lsh_bands(minhash_signatures(tok, num_hashes, id_col), band_size, id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes=16,
@@ -127,22 +152,7 @@ def minhash_lsh_pairs(
     colliding docs.  Each candidate pair is then verified with true
     token-set Jaccard >= threshold.  Returns (doc_a, doc_b, jaccard)."""
     tok = tokens(docs, id_col, text_col)
-    bands = lsh_bands(minhash_signatures(tok, num_hashes, id_col), band_size, id_col)
-
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(tok, num_hashes, band_size, id_col)
 
     ta = tok.alias("ta")
     tb = tok.alias("tb")

@@ -553,6 +553,20 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l5. LSH recall report: an EVALUATION harness — every frame
+    # descends from the bounded doc_id < 300 sample, so no exchange
+    # budget applies (the exact all-pairs truth join is the harness's
+    # point and is bounded by construction); what must hold is that
+    # nothing is cartesian (the 1-row metric crossJoins broadcast) and
+    # the counts are hash aggregates.
+    check(
+        "lsh_recall_report_bounded_harness",
+        allq["lsh_recall_report"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[r"CartesianProduct"],
+        materialize=True,
+    )
+
     # 34l4. Host reputation filter: the verdict join-back is UNHINTED
     # (host cardinality is data-dependent — the source-level broadcast
     # audit below guarantees no F.broadcast() here) and AQE must still
