@@ -2133,13 +2133,11 @@ _IVF_TRAIN_ITERS = 3
 _IVF_TRAIN_FP = float(textops.IVF_TRAIN_FP)
 
 
-def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
-    """Unrolled DuckDB replay of the Lloyd loop: per iteration one
-    argmax-cosine assignment (row_number window over the K-row centroid
-    frame) and one fixed-point per-cluster mean, as plain CTEs."""
-
-    def assign(prev_c, i):
-        return f"""
+def _ivf_assign_cte(prev_c, i):
+    """DuckDB CTE: argmax-cosine assignment of every vector against the
+    {prev_c} centroid frame (row_number window, (cosine desc, cid asc)
+    tie-break) — one Lloyd half-step."""
+    return f"""
     a{i} AS (
       SELECT vec_id, e, cid FROM (
         SELECT x.vec_id, x.e, c.cid,
@@ -2149,7 +2147,12 @@ def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
                     * sqrt(list_dot_product(c.cvec, c.cvec)))
                  DESC, c.cid ASC) AS rn
         FROM e x, {prev_c} c) WHERE rn = 1
-    ),
+    )"""
+
+
+def _ivf_stats_cte(i, fp=_IVF_TRAIN_FP):
+    """DuckDB CTE: per-(cluster, pos) fixed-point sums + counts of a{i}."""
+    return f""",
     s{i} AS (
       SELECT cid, u.pos - 1 AS pos,
              sum(CAST(floor(e[u.pos] * {fp} + 0.5) AS BIGINT)) AS s,
@@ -2158,8 +2161,11 @@ def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
       GROUP BY 1, 2
     )"""
 
-    def update(i):
-        return f""",
+
+def _ivf_update_cte(i, fp=_IVF_TRAIN_FP):
+    """DuckDB CTE: next centroid frame c{i} from s{i} means, keeping the
+    previous centroid for empty clusters."""
+    return f""",
     c{i} AS (
       SELECT p.cid, COALESCE(m.cvec, p.cvec) AS cvec
       FROM c{i - 1} p LEFT JOIN (
@@ -2170,6 +2176,10 @@ def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
         FROM s{i} GROUP BY cid) m ON p.cid = m.cid
     )"""
 
+
+def _ivf_loop_ctes(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
+    """The shared unrolled-Lloyd CTE chain (e, c0, a1 .. s{iters})
+    replayed by both the ivf_train and cluster_mix_report oracles."""
     sql = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -2177,11 +2187,23 @@ def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
     c0 AS (
       SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
       FROM embeddings WHERE vec_id < {k}
-    ),{assign("c0", 1)[5:]}"""
+    ),{_ivf_assign_cte("c0", 1)[5:]}{_ivf_stats_cte(1, fp)}"""
     for i in range(2, iters + 1):
-        sql += update(i - 1) + "," + assign(f"c{i - 1}", i)
+        sql += (
+            _ivf_update_cte(i - 1, fp)
+            + ","
+            + _ivf_assign_cte(f"c{i - 1}", i)
+            + _ivf_stats_cte(i, fp)
+        )
+    return sql
+
+
+def _ivf_train_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
+    """Unrolled DuckDB replay of the Lloyd loop: per iteration one
+    argmax-cosine assignment (row_number window over the K-row centroid
+    frame) and one fixed-point per-cluster mean, as plain CTEs."""
     return (
-        sql
+        _ivf_loop_ctes(k, iters, fp)
         + f"""
     SELECT cid AS centroid_id, pos, CAST(s AS BIGINT) AS sum_fixed,
            CAST(n AS BIGINT) AS cluster_size,
@@ -2213,6 +2235,71 @@ def ivf_train(spark, sf_dir):
     `ann_ivf_topk`)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return textops.ivf_train(emb, k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS)
+
+
+def _cluster_mix_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
+    """Extend the shared Lloyd replay by one update + one assignment: the
+    serving assignment against the TRAINED codebook c{iters}, then the
+    (cluster, label) rollup with within-cluster shares."""
+    i = iters + 1
+    return (
+        _ivf_loop_ctes(k, iters, fp)
+        + _ivf_update_cte(iters, fp)
+        + ","
+        + _ivf_assign_cte(f"c{iters}", i)
+        + f""",
+    mix AS (
+      SELECT a.cid AS centroid_id, l.label, count(*) AS n_vecs
+      FROM a{i} a JOIN embeddings l ON l.vec_id = a.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT centroid_id, CAST(label AS BIGINT) AS label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           round(n_vecs * 1.0 / sum(n_vecs) OVER (PARTITION BY centroid_id), 4)
+             AS cluster_share
+    FROM mix
+    """
+    )
+
+
+@_q("cluster_mix_report", _cluster_mix_sql())
+def cluster_mix_report(spark, sf_dir):
+    """Corpus topical-balance report — the trained IVF codebook put to
+    work: every embedding is assigned to its `ivf_train` centroid and
+    rolled up by (cluster, label), with within-cluster label shares.
+    This is the mix audit a data team runs before temperature sampling
+    (is a topic cluster dominated by one source/label? did curation
+    collapse a cluster?), and it closes the train→serve loop inside the
+    catalog: the codebook consumed here is the one `ivf_train` learned,
+    reconstructed from its exact integer sums via
+    `codebook_from_training`.
+
+    Scale shape: training is `ivf_train`'s (corpus never shuffled);
+    the serving assignment is the same map-side fold against the
+    trained codebook inlined as literals (K is a contract constant),
+    with the label column riding through the projection
+    (`ivf_assign(keep_cols=...)`) so NO corpus-sized join-back on
+    vec_id is needed; the rollup is ONE bounded-output aggregate
+    (<= K x |labels| rows) plus a window over those rows.  Counts and
+    shares are exact rationals."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = textops.ivf_train(emb, k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS)
+    codebook = textops.codebook_from_training(trained)
+    assigned = textops.ivf_assign(emb, codebook, keep_cols=("label",))
+    mix = assigned.groupBy("centroid_id", "label").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    from pyspark.sql.window import Window
+
+    share = F.col("n_vecs").cast("double") / F.sum("n_vecs").over(
+        Window.partitionBy("centroid_id")
+    )
+    return mix.select(
+        "centroid_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.round(share, 4).alias("cluster_share"),
+    )
 
 
 @_q(

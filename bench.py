@@ -252,6 +252,7 @@ def main():
         "ivf_train",
         "host_reputation_filter",
         "lsh_recall_report",
+        "cluster_mix_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

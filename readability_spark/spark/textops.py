@@ -301,7 +301,7 @@ def _codebook_array(codebook):
 
 
 def ivf_assign(
-    emb: DataFrame, centroids, id_col="vec_id", vec_col="embedding"
+    emb: DataFrame, centroids, id_col="vec_id", vec_col="embedding", keep_cols=()
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF coarse quantizer).
 
@@ -316,7 +316,9 @@ def ivf_assign(
 
     ``centroids`` may be a DataFrame or an already-collected codebook (the
     list returned by ``collect_codebook``) so callers assigning several
-    frames against the same codebook collect it once."""
+    frames against the same codebook collect it once.  ``keep_cols`` rides
+    extra input columns through the assignment, so downstream per-cluster
+    rollups need no corpus-sized join-back on the id."""
     carr = _codebook_array(
         centroids
         if isinstance(centroids, list)
@@ -334,7 +336,9 @@ def ivf_assign(
             ),
         )
     )
-    return emb.select(id_col, vec_col, (-best["neg"]).alias("centroid_id"))
+    return emb.select(
+        id_col, vec_col, *keep_cols, (-best["neg"]).alias("centroid_id")
+    )
 
 
 def ann_ivf_topk(

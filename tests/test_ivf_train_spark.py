@@ -171,3 +171,36 @@ def test_ivf_train_survives_empty_corpus(spark):
     )
     empty = spark.createDataFrame([], schema)
     assert textops.ivf_train(empty, k=K, iters=ITERS).collect() == []
+
+
+def test_cluster_mix_report_consistency(spark, vectors):
+    """The mix report must partition the corpus over the final-assignment
+    clusters, with within-cluster shares summing to 1 and matching the
+    replay's serving assignment (one extra Lloyd update + assign)."""
+    rows = entry.cluster_mix_report(spark, SF_DIR).collect()
+    assert sum(int(r.n_vecs) for r in rows) == len(vectors)
+    by_cluster: dict[int, float] = {}
+    for r in rows:
+        by_cluster[int(r.centroid_id)] = by_cluster.get(int(r.centroid_id), 0.0) + float(
+            r.cluster_share
+        )
+    for cid, total in by_cluster.items():
+        assert abs(total - 1.0) < 5e-4, f"cluster {cid} shares sum to {total}"
+    # replay the serving assignment: means from the final stats, then argmax
+    sums, counts, _ = _replay(vectors)
+    cents = {cid: [s / counts[cid] / FP for s in svec] for cid, svec in sums.items()}
+    want: dict[tuple[int, int], int] = {}
+    labels = {
+        int(r.vec_id): int(r.label)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    for vid, v in vectors:
+        best = max(
+            ((cid, _cos(v, cv)) for cid, cv in sorted(cents.items())),
+            key=lambda t: (t[1], -t[0]),
+        )[0]
+        want[(best, labels[vid])] = want.get((best, labels[vid]), 0) + 1
+    got = {(int(r.centroid_id), int(r.label)): int(r.n_vecs) for r in rows}
+    assert got == want

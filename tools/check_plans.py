@@ -553,6 +553,27 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l6. Cluster mix report: the trained codebook is consumed as
+    # inlined literals (training ran at build time; its own plan is
+    # gated by ivf_train_bounded_aggs_no_corpus_shuffle), so the served
+    # query is a map-side assignment + ONE bounded (cluster, label)
+    # aggregate + a window over those <= K*|labels| rows — exactly two
+    # exchanges, no joins, no Python.
+    check(
+        "cluster_mix_two_bounded_exchanges",
+        allq["cluster_mix_report"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Window"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+            r"BroadcastHashJoin",
+        ],
+        exact_exchanges=2,
+        materialize=True,
+    )
+
     # 34l5. LSH recall report: an EVALUATION harness — every frame
     # descends from the bounded doc_id < 300 sample, so no exchange
     # budget applies (the exact all-pairs truth join is the harness's
