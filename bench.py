@@ -253,6 +253,7 @@ def main():
         "host_reputation_filter",
         "lsh_recall_report",
         "cluster_mix_report",
+        "bigram_perplexity_filter",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -553,6 +553,27 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l7. Bigram-LM perplexity: the three model frames (bigram table,
+    # context counts, unigram probs) are vocabulary-bounded map-combined
+    # aggregates; the scoring joins are UNHINTED (vocabulary cardinality
+    # is data-dependent) and AQE converts them to broadcasts at this sf;
+    # one doc_id shuffle for the per-doc NLL; 5 static exchanges total
+    # (3 model aggs + the vocab-sized total window + the doc agg),
+    # nothing cartesian, no Python.
+    check(
+        "bigram_ppl_bounded_models_aqe_joins",
+        allq["bigram_perplexity_filter"](spark, SF_DIR),
+        must=[r"HashAggregate", r"BroadcastHashJoin"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Sort\b.*global=true",
+        ],
+        max_exchanges=5,
+        materialize=True,
+    )
+
     # 34l6. Cluster mix report: the trained codebook is consumed as
     # inlined literals (training ran at build time; its own plan is
     # gated by ivf_train_bounded_aggs_no_corpus_shuffle), so the served
