@@ -2262,6 +2262,132 @@ def _cluster_mix_sql(k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP):
     )
 
 
+#: kNN label propagation: neighbor count and the labeled slice
+_KNN_K = 3
+_KNN_LABELED_MOD = 5  # vec_id % 5 == 0 is the "human-labeled" subset
+
+
+def _knn_label_sql(
+    k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS, fp=_IVF_TRAIN_FP, knn=_KNN_K
+):
+    """Extend the shared Lloyd replay by the serving assignment, then
+    replay the within-cluster kNN vote: rank labeled neighbors per
+    unlabeled vector by (cosine desc, vec_id asc), keep the top k,
+    majority label with (votes desc, label asc) tie-break."""
+    i = iters + 1
+    cos = (
+        "round(list_dot_product(u.v, l.v)"
+        " / (sqrt(list_dot_product(u.v, u.v))"
+        " * sqrt(list_dot_product(l.v, l.v))), 4)"
+    )
+    return (
+        _ivf_loop_ctes(k, iters, fp)
+        + _ivf_update_cte(iters, fp)
+        + ","
+        + _ivf_assign_cte(f"c{iters}", i)
+        + f""",
+    lab AS (
+      SELECT a.vec_id, emb.embedding AS v, a.cid, emb.label
+      FROM a{i} a JOIN embeddings emb ON emb.vec_id = a.vec_id
+      WHERE a.vec_id % {_KNN_LABELED_MOD} = 0
+    ),
+    unl AS (
+      SELECT a.vec_id, emb.embedding AS v, a.cid
+      FROM a{i} a JOIN embeddings emb ON emb.vec_id = a.vec_id
+      WHERE a.vec_id % {_KNN_LABELED_MOD} != 0
+    ),
+    nn AS (
+      SELECT vec_id, label, cos FROM (
+        SELECT u.vec_id, l.label, {cos} AS cos,
+               row_number() OVER (PARTITION BY u.vec_id
+                 ORDER BY {cos} DESC, l.vec_id ASC) AS rn
+        FROM unl u JOIN lab l ON l.cid = u.cid AND l.vec_id != u.vec_id
+      ) WHERE rn <= {knn}
+    ),
+    votes AS (
+      SELECT vec_id, label, count(*) AS v, max(cos) AS bc
+      FROM nn GROUP BY 1, 2
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS pred_label,
+           CAST(v AS BIGINT) AS votes, bc AS best_cos
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY v DESC, label ASC) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """
+    )
+
+
+@_q("knn_label_propagation", _knn_label_sql())
+def knn_label_propagation(spark, sf_dir):
+    """Semi-supervised label propagation — the active-learning curation
+    lane: a small human-labeled subset (vec_id % 5 == 0 here) propagates
+    its labels to the unlabeled corpus by majority vote of each vector's
+    k=3 nearest LABELED neighbors, with the neighbor search bucketed by
+    the `ivf_train` codebook so it is quadratic only WITHIN a cluster
+    (the SemDeDup bounding argument: codebook size grows with the corpus,
+    per-cluster populations stay bounded).  This is how production teams
+    stretch a 10^5-document human quality audit across a 10^12-document
+    corpus before training a classifier on the propagated labels.
+
+    Shape: serving assignment is the map-side fold against the trained
+    codebook (literals; training plan gated separately); the
+    unlabeled-x-labeled pair join is an equi-join on centroid_id — never
+    cartesian; neighbor ranking is one window per unlabeled vector
+    ((cosine desc, vec_id asc), cosines rounded to 4dp so both engines
+    rank identical values); the vote is a bounded groupBy + one more
+    window.  Unlabeled vectors whose cluster holds no labeled member get
+    no prediction (inner join) — at production scale the labeled set is
+    stratified per cluster precisely to avoid that.  best_cos is a MAX
+    (order-independent), not a mean, so no float-summation order enters
+    the output."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    trained = textops.ivf_train(emb, k=_IVF_TRAIN_K, iters=_IVF_TRAIN_ITERS)
+    codebook = textops.codebook_from_training(trained)
+    assigned = textops.ivf_assign(emb, codebook, keep_cols=("label",))
+    lab = assigned.select(
+        F.col("vec_id").alias("lid"),
+        F.col("embedding").alias("lvec"),
+        "centroid_id",
+        F.col("label").alias("llabel"),
+    ).filter(F.col("lid") % _KNN_LABELED_MOD == 0)
+    unl = assigned.select(
+        "vec_id", F.col("embedding").alias("uvec"), "centroid_id"
+    ).filter(F.col("vec_id") % _KNN_LABELED_MOD != 0)
+    from pyspark.sql import Window
+
+    cos = F.round(textops._cosine(F.col("uvec"), F.col("lvec")), 4)
+    nn = (
+        unl.join(lab, "centroid_id")
+        .filter(F.col("lid") != F.col("vec_id"))
+        .select("vec_id", "lid", F.col("llabel").alias("label"), cos.alias("cos"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cos").desc(), F.col("lid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = nn.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("v"), F.max("cos").alias("bc")
+    )
+    win = Window.partitionBy("vec_id").orderBy(F.col("v").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("pred_label"),
+            F.col("v").cast("long").alias("votes"),
+            F.col("bc").alias("best_cos"),
+        )
+    )
+
+
 @_q("cluster_mix_report", _cluster_mix_sql())
 def cluster_mix_report(spark, sf_dir):
     """Corpus topical-balance report — the trained IVF codebook put to

@@ -254,6 +254,7 @@ def main():
         "lsh_recall_report",
         "cluster_mix_report",
         "bigram_perplexity_filter",
+        "knn_label_propagation",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

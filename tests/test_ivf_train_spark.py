@@ -204,3 +204,49 @@ def test_cluster_mix_report_consistency(spark, vectors):
         want[(best, labels[vid])] = want.get((best, labels[vid]), 0) + 1
     got = {(int(r.centroid_id), int(r.label)): int(r.n_vecs) for r in rows}
     assert got == want
+
+
+def test_knn_label_propagation_replay(spark, vectors):
+    """Pure-Python replay of the kNN vote over the serving assignment:
+    same rounded-cosine ranking, same (votes desc, label asc) majority
+    tie-break — pins pred_label/votes for every unlabeled vector."""
+    sums, counts, _ = _replay(vectors)
+    cents = {cid: [s / counts[cid] / FP for s in svec] for cid, svec in sums.items()}
+    labels = {
+        int(r.vec_id): int(r.label)
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    assign = {}
+    for vid, v in vectors:
+        assign[vid] = max(
+            ((cid, _cos(v, cv)) for cid, cv in sorted(cents.items())),
+            key=lambda t: (t[1], -t[0]),
+        )[0]
+    vecs = dict(vectors)
+    mod = entry._KNN_LABELED_MOD
+    want = {}
+    for vid, v in vectors:
+        if vid % mod == 0:
+            continue
+        neigh = sorted(
+            (
+                (round(_cos(v, vecs[lid]), 4), lid, labels[lid])
+                for lid, _ in vectors
+                if lid % mod == 0 and assign[lid] == assign[vid] and lid != vid
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[: entry._KNN_K]
+        if not neigh:
+            continue
+        tallies: dict[int, int] = {}
+        for _, _, lab in neigh:
+            tallies[lab] = tallies.get(lab, 0) + 1
+        pred = min(tallies.items(), key=lambda t: (-t[1], t[0]))
+        want[vid] = (pred[0], pred[1])
+    got = {
+        int(r.vec_id): (int(r.pred_label), int(r.votes))
+        for r in entry.knn_label_propagation(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -553,6 +553,26 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l8. kNN label propagation: the labeled-x-unlabeled pair join is
+    # an equi-join on centroid_id (never cartesian; quadratic only
+    # within a cluster — the SemDeDup bounding argument), the codebook
+    # assignment is map-side literals, and the whole rank->vote->argmax
+    # tail shares ONE vec_id exchange (the ranking window, the vote
+    # aggregate and the argmax window all cluster by vec_id).
+    check(
+        "knn_label_prop_one_vecid_exchange",
+        allq["knn_label_propagation"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Window"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        exact_exchanges=1,
+        materialize=True,
+    )
+
     # 34l7. Bigram-LM perplexity: the three model frames (bigram table,
     # context counts, unigram probs) are vocabulary-bounded map-combined
     # aggregates; the scoring joins are UNHINTED (vocabulary cardinality
