@@ -326,12 +326,24 @@ def main():
     spark.stop()
     # the driver captures only the last ~2000 chars of stdout: if catalog
     # growth ever pushes the 2-decimal line past a 1950-char safety margin,
-    # degrade the stdout copy to 1 decimal (full precision always ships in
-    # the sidecar's queries_3dp) rather than risk an uncapturable line
+    # degrade the stdout copy — first to 1 decimal, then by dropping the
+    # FASTEST queries from the stdout dict (they carry the least signal;
+    # "omitted_fastest" records how many) until the line fits.  Full
+    # precision and every query always ship in the sidecar's queries_3dp,
+    # and "value" stays the all-queries total either way.
     line = json.dumps(headline)
     if len(line) > 1950:
         headline["queries"] = {n: round(min(s), 1) for n, s in samples.items()}
-        headline["value"] = round(sum(headline["queries"].values()), 1)
+        line = json.dumps(headline)
+    omitted = 0
+    while len(line) > 1950 and len(headline["queries"]) > 1:
+        fastest = min(
+            (n for n in headline["queries"] if n != "extract_flagship"),
+            key=lambda n: (headline["queries"][n], -len(n)),
+        )
+        del headline["queries"][fastest]
+        omitted += 1
+        headline["omitted_fastest"] = omitted
         line = json.dumps(headline)
     print(line)
 
