@@ -2015,6 +2015,57 @@ def simhash_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "simhash_hamming_pairs",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300 AND trim(text) != ''),
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+    tokh AS (SELECT doc_id, md5(token) AS h FROM tok),
+    votes AS (
+      SELECT doc_id, b,
+             sum((((strpos('0123456789abcdef', substr(h, CAST(1 + b // 4 AS INT), 1)) - 1)
+                   // (CASE b % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) % 2)
+                 * 2 - 1) AS v
+      FROM tokh, range(32) r(b) GROUP BY doc_id, b
+    ),
+    sh AS (SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS s
+           FROM votes GROUP BY doc_id),
+    blocks AS (SELECT doc_id, b, substr(s, CAST(b * 8 + 1 AS INT), 8) AS bv
+               FROM sh, range(4) r(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM blocks a JOIN blocks c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, 32),
+                 i -> substr(x.s, CAST(i AS INT), 1) != substr(y.s, CAST(i AS INT), 1)))
+               AS hamming
+      FROM cand JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= 3
+    """,
+)
+def simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup pairs by Hamming distance
+    (textops.simhash_hamming_pairs) — the Manku/Jain/Das Sarma (WWW
+    2007) block-permutation dedup Google ran on its crawl, next to the
+    MinHash tier: 4 blocks of 8 bits, equi-join on (block, value) for
+    candidates, exact bitwise verify at Hamming <= 3.  Pigeonhole makes
+    the recall EXACT (<= 3 differing bits leave at least one of 4 blocks
+    identical), unlike MinHash banding's probabilistic recall — the
+    `lsh_recall_report` harness exists precisely because of that
+    difference.  Bounded to doc_id < 300 like the LSH demo; the verify
+    fingerprint lookup is semi-joined to the candidate set and UNHINTED
+    (the minhash_lsh_pairs sizes discipline)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return textops.simhash_hamming_pairs(
+        docs, bits=32, block_count=4, max_hamming=3
+    )
+
+
+@_q(
     "embedding_near_dup",
     """
     WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500)

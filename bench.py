@@ -255,6 +255,7 @@ def main():
         "cluster_mix_report",
         "bigram_perplexity_filter",
         "knn_label_propagation",
+        "simhash_hamming_pairs",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -231,6 +231,89 @@ def simhash(docs: DataFrame, bits=32, id_col="doc_id", text_col="text") -> DataF
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    bits=32,
+    block_count=4,
+    max_hamming=3,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance — the Manku,
+    Jain & Das Sarma (WWW 2007) block-permutation technique Google used
+    for web-crawl dedup, the bitwise complement to `minhash_lsh_pairs`'
+    set-similarity tier.
+
+    The fingerprint splits into ``block_count`` equal blocks; by
+    pigeonhole, two fingerprints within Hamming distance
+    ``max_hamming`` <= block_count - 1 MUST agree exactly on at least one
+    block, so an equi-join on (block_no, block_value) finds EVERY true
+    pair (exact recall — unlike MinHash banding, which is probabilistic)
+    and only the collision set is ever verified.  Verification recomputes
+    the exact Hamming distance bitwise.
+
+    Scale: candidates come from one equi-join on the block key — nothing
+    all-pairs.  The fingerprint lookup for the verify tier is semi-joined
+    down to documents appearing in a candidate pair and left UNHINTED
+    (the `minhash_lsh_pairs` sizes discipline).  A block value shared by
+    k near-identical documents contributes k^2 candidates — real
+    deployments handle such hot blocks with permutation tables over more
+    blocks (Manku section 3); callers here bound the input id range the
+    same way the LSH demo does.  Returns (doc_a, doc_b, hamming)."""
+    width = bits // block_count
+    sh = simhash(docs, bits, id_col, text_col)
+    blocks = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring("simhash", b * width + 1, width).alias("bv"),
+                    )
+                    for b in range(block_count)
+                ]
+            )
+        ).alias("blk"),
+    ).select(id_col, "blk.b", "blk.bv")
+    a = blocks.alias("a")
+    c = blocks.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"c.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    fp = sh.join(cand_ids, id_col, "left_semi")
+    sa = fp.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sa"))
+    sb = fp.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sa").substr(i, F.lit(1)) != F.col("sb").substr(i, F.lit(1)), 1
+        ).otherwise(0),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),

@@ -553,6 +553,23 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l9. SimHash Hamming pairs: candidates from ONE equi-join on the
+    # (block, value) key — nothing all-pairs, nothing cartesian; the
+    # verify fingerprint lookup is semi-joined to the candidate set and
+    # unhinted (source audit); no Python, no global sort.
+    check(
+        "simhash_hamming_block_join_only",
+        allq["simhash_hamming_pairs"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Sort\b.*global=true",
+        ],
+        materialize=True,
+    )
+
     # 34l8. kNN label propagation: the labeled-x-unlabeled pair join is
     # an equi-join on centroid_id (never cartesian; quadratic only
     # within a cluster — the SemDeDup bounding argument), the codebook
