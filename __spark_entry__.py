@@ -5063,21 +5063,10 @@ _BPE_RANK_SQL = "CASE " + " ".join(
 ) + " END"
 
 
-@_q(
-    "bpe_tokenize",
-    f"""
-    WITH RECURSIVE t AS (
-      -- token != '' : consecutive spaces produce empty tokens, which the
-      -- two engines BPE differently (Python list('') = [] vs DuckDB
-      -- string_split_regex('', '') = ['']) — and a zero-char token is
-      -- not a word anyway
-      SELECT doc_id, token FROM (
-        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
-        FROM documents WHERE trim(text) != ''
-      ) WHERE token != ''
-    ),
-    tfd AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
-    vocab AS (SELECT DISTINCT token FROM tfd),
+#: shared DuckDB fragment: the recursive leftmost-best BPE apply over a
+#: `vocab(token)` CTE, yielding `pieces(token, n_pieces)` — used by the
+#: bpe_tokenize and tokenizer_fertility_report oracles
+_BPE_APPLY_CTES = f"""
     bpe AS (
       SELECT token, string_split_regex(token, '') AS syms FROM vocab
       UNION ALL
@@ -5098,7 +5087,54 @@ _BPE_RANK_SQL = "CASE " + " ".join(
     pieces AS (
       SELECT token, arg_min(len(syms), len(syms)) AS n_pieces
       FROM bpe GROUP BY token
-    )
+    )"""
+
+
+
+
+def _bpe_piece_counts(vocab, merge_rank):
+    """Arrow-batched greedy leftmost-best BPE apply over the DISTINCT
+    vocabulary frame — the only Python stage of the tokenizer family
+    (shared by `bpe_tokenize` and `tokenizer_fertility_report`; the
+    corpus never enters Python).  Returns (token, n_pieces)."""
+
+    def apply_bpe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for tkn in pdf["token"]:
+                syms = list(tkn)
+                while True:
+                    best = bp = None
+                    for i in range(len(syms) - 1):
+                        r = merge_rank.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, bp = r, i
+                    if bp is None:
+                        break
+                    syms[bp : bp + 2] = [syms[bp] + syms[bp + 1]]
+                out.append((tkn, len(syms)))
+            yield pd.DataFrame(out, columns=["token", "n_pieces"])
+
+    return vocab.mapInPandas(apply_bpe, "token string, n_pieces int")
+
+
+@_q(
+    "bpe_tokenize",
+    f"""
+    WITH RECURSIVE t AS (
+      -- token != '' : consecutive spaces produce empty tokens, which the
+      -- two engines BPE differently (Python list('') = [] vs DuckDB
+      -- string_split_regex('', '') = ['']) — and a zero-char token is
+      -- not a word anyway
+      SELECT doc_id, token FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents WHERE trim(text) != ''
+      ) WHERE token != ''
+    ),
+    tfd AS (SELECT doc_id, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT token FROM tfd),{_BPE_APPLY_CTES}
     SELECT tfd.doc_id,
            CAST(sum(tfd.cnt) AS BIGINT) AS n_words,
            CAST(sum(tfd.cnt * p.n_pieces) AS BIGINT) AS n_bpe_pieces
@@ -5131,8 +5167,6 @@ def bpe_tokenize(spark, sf_dir, rank=None):
     ``rank`` swaps the inlined stand-in table for a learned one — e.g.
     the output of `bpe_train` collected into {(lhs, rhs): rank} — without
     changing the apply plan (the oracle covers the default table only)."""
-    import pandas as pd
-
     merge_rank = _BPE_RANK if rank is None else rank
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     tok = docs.select(
@@ -5140,25 +5174,7 @@ def bpe_tokenize(spark, sf_dir, rank=None):
     ).filter(F.col("token") != "")
     tfd = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     vocab = tfd.select("token").distinct()
-
-    def apply_bpe(batches):
-        for pdf in batches:
-            out = []
-            for tkn in pdf["token"]:
-                syms = list(tkn)
-                while True:
-                    best = bp = None
-                    for i in range(len(syms) - 1):
-                        r = merge_rank.get((syms[i], syms[i + 1]))
-                        if r is not None and (best is None or r < best):
-                            best, bp = r, i
-                    if bp is None:
-                        break
-                    syms[bp : bp + 2] = [syms[bp] + syms[bp + 1]]
-                out.append((tkn, len(syms)))
-            yield pd.DataFrame(out, columns=["token", "n_pieces"])
-
-    pieces = vocab.mapInPandas(apply_bpe, "token string, n_pieces int")
+    pieces = _bpe_piece_counts(vocab, merge_rank)
     return (
         tfd.join(pieces, "token")
         .groupBy("doc_id")
@@ -5167,6 +5183,60 @@ def bpe_tokenize(spark, sf_dir, rank=None):
             F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias(
                 "n_bpe_pieces"
             ),
+        )
+    )
+
+
+@_q(
+    "tokenizer_fertility_report",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT source, token FROM (
+        SELECT source, unnest(string_split(trim(text), ' ')) AS token
+        FROM documents WHERE trim(text) != ''
+      ) WHERE token != ''
+    ),
+    tfs AS (SELECT source, token, count(*) AS cnt FROM t GROUP BY 1, 2),
+    vocab AS (SELECT DISTINCT token FROM tfs),{{_BPE_APPLY_CTES}}
+    SELECT tfs.source,
+           CAST(sum(tfs.cnt) AS BIGINT) AS n_words,
+           CAST(sum(tfs.cnt * p.n_pieces) AS BIGINT) AS n_pieces,
+           round(sum(tfs.cnt * p.n_pieces) * 1.0 / sum(tfs.cnt), 4) AS fertility
+    FROM tfs JOIN pieces p USING (token)
+    GROUP BY tfs.source
+    """.format(_BPE_APPLY_CTES=_BPE_APPLY_CTES),
+)
+def tokenizer_fertility_report(spark, sf_dir):
+    """Tokenizer fertility audit — pieces-per-word by source, the metric
+    a team checks BEFORE committing a tokenizer to a training run (high
+    fertility on a source means its text is expensive in sequence budget
+    and under-served by the merge table; multilingual tokenizer papers
+    report exactly this number per language).  Uses the same greedy
+    leftmost-best apply as `bpe_tokenize`, shared via
+    `_bpe_piece_counts`.
+
+    Scale shape: the corpus collapses FIRST to a (source, token, cnt)
+    aggregate (bounded by |sources| x |vocab|, map-side combined); the
+    iterative Python apply again touches only the DISTINCT vocabulary;
+    the final rollup is one source-cardinality aggregate.  No per-doc
+    granularity anywhere — this report never needs it, so it never pays
+    for it.  Fertility is an exact-integer ratio rounded at output."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim(F.col("text")), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tfs = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    pieces = _bpe_piece_counts(tfs.select("token").distinct(), _BPE_RANK)
+    fert = F.round(
+        F.sum(F.col("cnt") * F.col("n_pieces")).cast("double") / F.sum("cnt"), 4
+    )
+    return (
+        tfs.join(pieces, "token")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias("n_pieces"),
+            fert.alias("fertility"),
         )
     )
 

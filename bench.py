@@ -256,6 +256,7 @@ def main():
         "bigram_perplexity_filter",
         "knn_label_propagation",
         "simhash_hamming_pairs",
+        "tokenizer_fertility_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

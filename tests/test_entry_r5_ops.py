@@ -220,3 +220,28 @@ class TestModelScoreSeam:
             assert r.quality_logit == round(want, 4), r.doc_id
             assert r.keep == (want >= 0)
             assert r.n_tokens == len(texts[r.doc_id].strip().split(" "))
+
+
+def test_tokenizer_fertility_consistency(spark):
+    """The per-source fertility report must be the exact rollup of
+    bpe_tokenize's per-doc piece counts joined to each doc's source —
+    same merge table, same apply, different grain."""
+    src_of = {
+        int(r.doc_id): r.source for r in entry._docs(spark, SF_DIR).collect()
+    }
+    per_doc = entry.bpe_tokenize(spark, SF_DIR).collect()
+    want: dict = {}
+    for r in per_doc:
+        s = src_of[int(r.doc_id)]
+        w, p = want.get(s, (0, 0))
+        want[s] = (w + int(r.n_words), p + int(r.n_bpe_pieces))
+    got = {
+        r.source: (int(r.n_words), int(r.n_pieces), float(r.fertility))
+        for r in entry.tokenizer_fertility_report(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for s, (w, p) in want.items():
+        gw, gp, gf = got[s]
+        assert (gw, gp) == (w, p)
+        assert gf == round(p / w, 4)
+        assert gf >= 1.0  # a word is never fewer than one piece

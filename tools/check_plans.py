@@ -553,6 +553,18 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l10. Tokenizer fertility: same discipline as bpe_tokenize — the
+    # Python apply (MapInPandas) sits on the DISTINCT-vocabulary branch
+    # only; the corpus collapses first to the (source, token) aggregate;
+    # nothing cartesian.
+    check(
+        "tokenizer_fertility_python_on_vocab_only",
+        allq["tokenizer_fertility_report"](spark, SF_DIR),
+        must=[r"MapInPandas|ArrowEvalPython", r"HashAggregate"],
+        must_not=[r"CartesianProduct", r"BroadcastNestedLoopJoin"],
+        materialize=True,
+    )
+
     # 34l9. SimHash Hamming pairs: candidates from ONE equi-join on the
     # (block, value) key — nothing all-pairs, nothing cartesian; the
     # verify fingerprint lookup is semi-joined to the candidate set and
