@@ -196,6 +196,55 @@ def extract_prepped_text(spark, sf_dir):
 
 
 @_q(
+    "page_outlinks",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || (CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END)
+               || '.example.com' AS dom,
+             {_SQL_URL} AS url
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, dom, url, 0 AS link_no, '/home' AS href,
+             'Home' AS anchor_text
+      FROM base
+      UNION ALL
+      SELECT doc_id, dom, url, CAST(j + 1 AS INT) AS link_no,
+             '/promo/' || doc_id || '/' || j AS href,
+             'Promoted story ' || j AS anchor_text
+      FROM base, range(8) r(j)
+    )
+    SELECT url, CAST(link_no AS INT) AS link_no, href,
+           dom || href AS target, anchor_text
+    FROM links
+    """,
+)
+def page_outlinks(spark, sf_dir):
+    """Outlink extraction from raw HTML (spark/links.py::page_outlinks) —
+    the link-graph ingestion path when only the crawl itself is on hand
+    (the WAT tier, `wat_link_meta`, covers crawls where Common Crawl
+    pre-extracted links): one vectorized mapInPandas pass over the pages
+    walks each page's anchors with the engine's own DOM parser and
+    resolves hrefs against the page URL under `urifix`'s public mozilla
+    rules (<base href> honored, in-page fragments kept relative).  Output
+    (url, link_no, href, target, anchor_text) in document order feeds the
+    same consumers as the WAT tier — `pagerank_links`, host link stats,
+    frontier construction.
+
+    Input here is the junk-page variant (one nav anchor + an 8-link promo
+    table per page — 9 deterministic anchors), so the oracle enumerates
+    every link in closed form; failure isolation matches extraction's
+    (undecodable/unparseable pages emit zero links).  Scale: map-only —
+    no shuffle, no join, one row per anchor."""
+    from readability_spark.spark.links import page_outlinks as extract_links
+    from readability_spark.spark.pages import junk_pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_links(junk_pages_from_documents(docs))
+
+
+@_q(
     "extract_media_text",
     f"""
     SELECT {_SQL_URL} AS url,

@@ -257,6 +257,7 @@ def main():
         "knn_label_propagation",
         "simhash_hamming_pairs",
         "tokenizer_fertility_report",
+        "page_outlinks",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

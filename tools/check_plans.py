@@ -553,6 +553,16 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l11. Page outlinks: a single vectorized extraction pass — the
+    # MapInPandas anchor walk is the operator (same design as the
+    # extraction UDF), with NO exchange, NO join, NO aggregate anywhere.
+    check(
+        "page_outlinks_map_only",
+        allq["page_outlinks"](spark, SF_DIR),
+        must=[r"MapInPandas"],
+        must_not=[r"Exchange", r"Join", r"HashAggregate", r"Sort\b"],
+    )
+
     # 34l10. Tokenizer fertility: same discipline as bpe_tokenize — the
     # Python apply (MapInPandas) sits on the DISTINCT-vocabulary branch
     # only; the corpus collapses first to the (source, token) aggregate;
