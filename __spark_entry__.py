@@ -3307,7 +3307,8 @@ def quality_score_auto(spark, sf_dir):
 
 
 #: Gopher required stopwords (Rae et al. 2021, public heuristics)
-_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+from readability_spark.spark.quality import GOPHER_STOPS as _GOPHER_STOPS
+from readability_spark.spark.quality import gopher_signals as _gopher_signals
 
 
 @_q(
@@ -3358,43 +3359,18 @@ def gopher_quality_filter(spark, sf_dir):
     UDF; at 100 TB it rides the scan like repetition_filter.  (Gopher's
     line-level rules — bullet/ellipsis line fractions — live in
     gopher_line_rules, over deterministically synthesized line
-    structure.)"""
+    structure.)  The signal/rule expressions are the shared
+    `spark/quality.py::gopher_signals` builder, so the streaming gate
+    (`stream_gopher_gate`) provably applies the identical bundle."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    toks = F.split(F.trim(F.col("text")), " ")
-    n_words = F.size(toks)
-    mean_wl = F.aggregate(
-        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-    ).cast("double") / n_words
-    alpha_frac = (
-        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double") / n_words
-    )
-    hash_count = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    ellipsis_count = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / 3
-    symbol_ratio = (hash_count + ellipsis_count).cast("double") / n_words
-    n_req = F.size(
-        F.array_intersect(
-            F.array_distinct(toks), F.array(*[F.lit(s) for s in _GOPHER_STOPS])
-        )
-    )
-    rules = {
-        "pass_word_count": n_words.between(50, 100000),
-        "pass_mean_word_len": mean_wl.between(3, 10),
-        "pass_symbol_ratio": symbol_ratio <= 0.1,
-        "pass_alpha_frac": alpha_frac >= 0.8,
-        "pass_stopwords": n_req >= 2,
-    }
-    keep = F.lit(True)
-    for rule in rules.values():
-        keep = keep & rule
+    signals, rules, keep = _gopher_signals("text")
     return docs.select(
         "doc_id",
-        n_words.cast("long").alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(alpha_frac, 4).alias("alpha_word_frac"),
-        F.round(symbol_ratio, 4).alias("symbol_word_ratio"),
-        n_req.cast("long").alias("n_req_stopwords"),
+        signals["n_words"].cast("long").alias("n_words"),
+        F.round(signals["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(signals["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        F.round(signals["symbol_word_ratio"], 4).alias("symbol_word_ratio"),
+        signals["n_req_stopwords"].cast("long").alias("n_req_stopwords"),
         *[rule.alias(name) for name, rule in rules.items()],
         keep.alias("keep"),
     )
@@ -6519,6 +6495,58 @@ def stream_domain_sessions(spark, sf_dir):
     out = run_domain_sessions(spark, str(base / "input"), f"domain_sessions_{sf_tag}")
     # the sentinel's own session stays open in state and is never emitted
     return out
+
+
+@_q(
+    "stream_gopher_gate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks
+      FROM documents WHERE trim(text) != ''
+    ),
+    m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_wl,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len(toks) AS alpha_frac,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + (length(text) - length(replace(text, '...', ''))) / 3
+               AS DOUBLE) / len(toks) AS symbol_ratio,
+             len(list_intersect(list_distinct(toks),
+                 {list(_GOPHER_STOPS)})) AS n_req_stopwords
+      FROM t
+    )
+    SELECT {_SQL_URL} AS url,
+           CAST(n_words AS BIGINT) AS n_words,
+           (n_words BETWEEN 50 AND 100000) AND (mean_wl BETWEEN 3 AND 10)
+             AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+             AND n_req_stopwords >= 2 AS keep
+    FROM m
+    """,
+)
+def stream_gopher_gate(spark, sf_dir):
+    """Streaming quality gating (streaming/stream.py::stream_quality_gate):
+    the Gopher word-rule bundle applied per micro-batch on the crawl
+    landing stream — the gate a pipeline runs BEFORE paying for
+    extraction or dedup state on junk pages.  Pure narrow projection per
+    micro-batch (no state, no watermark — memory is O(batch), never
+    O(corpus)), built from the SAME `quality.gopher_signals` expressions
+    as the batch `gopher_quality_filter`, so the drained stream must
+    equal the batch oracle exactly — streaming and batch are the same
+    engine and the same rules."""
+    from readability_spark.streaming import stream_quality_gate
+
+    base = _stream_workdir(sf_dir, "quality")
+    read_pages(spark, sf_dir).write.mode("overwrite").parquet(str(base / "input"))
+    sf_tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_")
+    return stream_quality_gate(
+        spark,
+        str(base / "input"),
+        str(base / "checkpoint"),
+        query_name=f"stream_quality_{sf_tag}",
+    )
 
 
 # ------------------------------------------------ relational / metrics ops

@@ -314,3 +314,35 @@ def stream_static_anti_corpus(
     )
     _await_or_stop(query, timeout_secs)
     return spark.table(query_name)
+
+
+def stream_quality_gate(
+    spark, input_dir, checkpoint_dir, query_name="stream_quality", timeout_secs=600
+):
+    """Streaming quality gating on the landing zone: the Gopher word-level
+    rule bundle (the SAME `spark/quality.py::gopher_signals` expressions
+    the batch `gopher_quality_filter` query runs) applied per micro-batch
+    as a pure narrow projection — no state, no watermark, nothing
+    accumulates, so throughput scales with arrival rate at any corpus
+    size.  This is the gate a crawl pipeline runs BEFORE paying for
+    extraction or dedup state on junk pages.  Emits (url, n_words, keep)
+    for every non-blank page; bounded drain via AvailableNow."""
+    from ..spark.quality import gopher_signals
+
+    stream = read_pages_stream(spark, input_dir).filter(F.trim(F.col("text")) != "")
+    signals, _, keep = gopher_signals("text")
+    gated = stream.select(
+        "url",
+        signals["n_words"].cast("long").alias("n_words"),
+        keep.alias("keep"),
+    )
+    query = (
+        gated.writeStream.format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_or_stop(query, timeout_secs)
+    return spark.table(query_name)

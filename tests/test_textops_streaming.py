@@ -284,6 +284,37 @@ class TestStreaming:
         # no new data -> no duplicate output rows (exactly-once sink)
         assert again.count() == n_first
 
+    def test_quality_gate_stream_equals_batch(self, spark, docs, tmp_path_factory):
+        """The streamed Gopher gate must equal the same gate run as a plain
+        batch projection over the identical input — same shared
+        quality.gopher_signals expressions, same rows, same verdicts."""
+        import pyspark.sql.functions as FF
+
+        from readability_spark.spark.quality import gopher_signals
+        from readability_spark.streaming import stream_quality_gate
+
+        base = tmp_path_factory.mktemp("stream_quality")
+        pages = pages_from_documents(docs)
+        pages.write.mode("overwrite").parquet(str(base / "input"))
+
+        streamed = stream_quality_gate(
+            spark, str(base / "input"), str(base / "ckpt"),
+            query_name="quality_gate_test",
+        )
+        signals, _, keep = gopher_signals("text")
+        batch = (
+            spark.read.parquet(str(base / "input"))
+            .filter(FF.trim(FF.col("text")) != "")
+            .select(
+                "url",
+                signals["n_words"].cast("long").alias("n_words"),
+                keep.alias("keep"),
+            )
+        )
+        s = sorted(map(tuple, streamed.collect()))
+        b = sorted(map(tuple, batch.collect()))
+        assert s == b and len(s) > 0
+
     def test_watermarked_dedup_emits_each_key_once(self, spark, docs, tmp_path_factory):
         from readability_spark.streaming import stream_dedup_watermarked
 
