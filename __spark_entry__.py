@@ -2570,6 +2570,64 @@ def winnow_fingerprints_q(spark, sf_dir):
 
 
 @_q(
+    "warc_outlinks",
+    f"""
+    SELECT {_SQL_URL} AS url,
+           CAST(0 AS INT) AS link_no,
+           '/home' AS href,
+           'https://' || (CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END)
+             || '.example.com/home' AS target,
+           'Home' AS anchor_text
+    FROM documents
+    """,
+)
+def warc_outlinks(spark, sf_dir):
+    """Crawl archive -> link graph, end to end: the WARC source connector
+    (`spark/warc.py`, binaryFile + ISO-28500 parser) feeds the outlink
+    extractor (`spark/links.py`) directly — the composition a link-graph
+    build actually runs over Common Crawl when no WAT tier ships with the
+    snapshot.  The plain page template carries exactly one anchor
+    (`/home`), so the oracle enumerates the whole link set in closed
+    form; resolution against each page's own URL exercises the per-row
+    base handling through the connector path.  Map-only after the
+    archive explode — no shuffle anywhere."""
+    from readability_spark.spark.links import page_outlinks as extract_links
+    from readability_spark.spark.warc import read_warc_pages
+
+    import shutil
+    from pathlib import Path
+
+    import pandas as pd
+
+    from readability_spark.spark.pages import page_url, synthesize_html
+    from readability_spark.spark.warc import build_warc
+
+    sf = sf_dir.rstrip("/").split("/")[-1]
+    base = Path(f"/tmp/readability_warc_links/{sf}")
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    n_files = 4
+    for part in range(n_files):
+        sub = docs[docs["doc_id"] % n_files == part]
+        records = [
+            (
+                "response",
+                page_url(r.doc_id, r.source),
+                "2026-03-01T00:00:00Z",
+                synthesize_html(r.doc_id, r.text, r.lang).encode("utf-8"),
+            )
+            for r in sub.itertuples()
+        ]
+        (base / f"crawl-{part}.warc.gz").write_bytes(
+            build_warc(records, compress=True)
+        )
+    return extract_links(read_warc_pages(spark, str(base)))
+
+
+@_q(
     "warc_extract_meta",
     f"""
     SELECT {_SQL_URL} AS url,
