@@ -4117,6 +4117,143 @@ def dsir_importance(spark, sf_dir):
 
 
 @_q(
+    "ccnet_pipeline",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN ' ' || text || ' ' LIKE '% the %' OR ' ' || text || ' ' LIKE '% and %' THEN 'en'
+                  WHEN ' ' || text || ' ' LIKE '% der %' OR ' ' || text || ' ' LIKE '% und %' THEN 'de'
+                  WHEN ' ' || text || ' ' LIKE '% le %' OR ' ' || text || ' ' LIKE '% et %' THEN 'fr'
+                  WHEN ' ' || text || ' ' LIKE '% el %' OR ' ' || text || ' ' LIKE '% y %' THEN 'es'
+                  ELSE 'und' END AS lang,
+             string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    tok AS (SELECT doc_id, lang, unnest(arr) AS token FROM d),
+    vocab AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    v2 AS (
+      SELECT token,
+             ln(CAST(c AS DOUBLE) / (SELECT sum(c) FROM vocab)) AS logp
+      FROM vocab
+    ),
+    s AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             -sum(logp) / count(*) AS nll
+      FROM tok JOIN v2 USING (token) GROUP BY doc_id
+    ),
+    samp AS (
+      SELECT doc_id, lang, round(nll, 4) AS rnll FROM s WHERE doc_id % 20 = 0
+    ),
+    rk AS (
+      SELECT lang, rnll,
+             row_number() OVER (PARTITION BY lang ORDER BY rnll, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM samp
+    ),
+    cuts AS (
+      SELECT lang,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                 THEN rnll END) AS head_cut,
+             max(CASE WHEN rn = CAST(ceil(n * 2 / 3.0) AS BIGINT)
+                 THEN rnll END) AS mid_cut
+      FROM rk GROUP BY lang
+    ),
+    lab AS (
+      SELECT s.doc_id, s.lang, round(s.nll, 4) AS nll,
+             CASE WHEN c.head_cut IS NULL THEN 'unsampled'
+                  WHEN round(s.nll, 4) <= c.head_cut THEN 'head'
+                  WHEN round(s.nll, 4) <= c.mid_cut THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s LEFT JOIN cuts c USING (lang)
+    )
+    SELECT doc_id, lang AS lang_detected, nll, bucket,
+           bucket IN ('head', 'middle') AS keep
+    FROM lab
+    """,
+)
+def ccnet_pipeline(spark, sf_dir):
+    """The CCNet curation pipeline (Wenzek et al. 2020) as ONE composed
+    query — the fourth end-to-end composition flagship next to
+    curated_corpus / curated_corpus_neardup / llm_corpus_pipeline:
+    language is DETECTED (the stopword-marker rule of
+    `lang_id_heuristic` — CCNet runs fastText lang-id; the detected-not-
+    declared distinction is the composition's point), every document is
+    scored by LM perplexity (`_unigram_nll`, the swappable-model proxy),
+    bucketed head/middle/tail against its DETECTED language's sampled
+    tercile cutoffs (`_ccnet_bucketize`, shared with `ccnet_buckets`),
+    and kept iff head or middle — CCNet's published selection.  CCNet's
+    paragraph-dedup step runs upstream of this (it is `paragraph_dedup`;
+    composing dedup is `curated_corpus`'s job), documented rather than
+    duplicated.
+
+    Scale shape: inherited from the parts — vocab aggregate + AQE
+    scoring join + one doc_id shuffle (scoring), sample-sized windows +
+    a languages-row broadcast (bucketing), everything else narrow."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def has(w):
+        return padded.like(f"% {w} %")
+
+    guess = (
+        F.when(has("the") | has("and"), "en")
+        .when(has("der") | has("und"), "de")
+        .when(has("le") | has("et"), "fr")
+        .when(has("el") | has("y"), "es")
+        .otherwise("und")
+    )
+    detected = docs.select("doc_id", guess.alias("lang"), "text")
+    scored = _unigram_nll(detected).select(
+        "doc_id", "lang", F.round("nll", 4).alias("rnll")
+    )
+    lab = _ccnet_bucketize(scored)
+    return lab.select(
+        "doc_id",
+        F.col("lang").alias("lang_detected"),
+        "nll",
+        "bucket",
+        F.col("bucket").isin("head", "middle").alias("keep"),
+    )
+
+
+def _ccnet_bucketize(scored):
+    """Shared CCNet tercile labeling over a scored (doc_id, lang, rnll)
+    frame: deterministic sampled cutoffs (doc_id % 20), per-lang order
+    statistics at ceil(n/3)/ceil(2n/3), one-row-per-language cuts frame
+    broadcast back (language inventory is a world constant — the
+    allowlisted F.broadcast(cuts) site).  Used by ccnet_buckets (declared
+    lang) and ccnet_pipeline (detected lang)."""
+    from pyspark.sql import Window
+
+    samp = scored.filter(F.col("doc_id") % 20 == 0)
+    wl = Window.partitionBy("lang").orderBy("rnll", "doc_id")
+    ranked = samp.select(
+        "lang",
+        "rnll",
+        F.row_number().over(wl).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    cuts = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("rnll"))
+        ).alias("head_cut"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 2 / 3.0), F.col("rnll"))
+        ).alias("mid_cut"),
+    )
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc_id",
+        "lang",
+        F.col("rnll").alias("nll"),
+        F.when(F.col("head_cut").isNull(), "unsampled")
+        .when(F.col("rnll") <= F.col("head_cut"), "head")
+        .when(F.col("rnll") <= F.col("mid_cut"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+@_q(
     "ccnet_buckets",
     """
     WITH d AS (
@@ -4179,38 +4316,11 @@ def ccnet_buckets(spark, sf_dir):
     is exactly why the cutoffs come from a sample: ntile over
     PARTITION BY lang on the full corpus would put one language's
     billions of rows through a single window partition."""
-    from pyspark.sql import Window
-
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
     scored = _unigram_nll(docs).select(
         "doc_id", "lang", F.round("nll", 4).alias("rnll")
     )
-    samp = scored.filter(F.col("doc_id") % 20 == 0)
-    wl = Window.partitionBy("lang").orderBy("rnll", "doc_id")
-    ranked = samp.select(
-        "lang",
-        "rnll",
-        F.row_number().over(wl).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-    )
-    cuts = ranked.groupBy("lang").agg(
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") / 3.0), F.col("rnll"))
-        ).alias("head_cut"),
-        F.max(
-            F.when(F.col("rn") == F.ceil(F.col("n") * 2 / 3.0), F.col("rnll"))
-        ).alias("mid_cut"),
-    )
-    return scored.join(F.broadcast(cuts), "lang", "left").select(
-        "doc_id",
-        "lang",
-        F.col("rnll").alias("nll"),
-        F.when(F.col("head_cut").isNull(), "unsampled")
-        .when(F.col("rnll") <= F.col("head_cut"), "head")
-        .when(F.col("rnll") <= F.col("mid_cut"), "middle")
-        .otherwise("tail")
-        .alias("bucket"),
-    )
+    return _ccnet_bucketize(scored)
 
 
 #: training-sequence length (tokens) for the packing operator

@@ -258,6 +258,7 @@ def main():
         "simhash_hamming_pairs",
         "tokenizer_fertility_report",
         "page_outlinks",
+        "ccnet_pipeline",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -245,3 +245,21 @@ def test_tokenizer_fertility_consistency(spark):
         assert (gw, gp) == (w, p)
         assert gf == round(p / w, 4)
         assert gf >= 1.0  # a word is never fewer than one piece
+
+
+def test_ccnet_pipeline_composition_consistency(spark):
+    """ccnet_pipeline must equal its parts composed by hand: the
+    lang_id_heuristic guess feeding the same scoring+bucketing that
+    ccnet_buckets applies to the declared lang — and keep must be exactly
+    bucket in {head, middle}."""
+    guesses = {
+        int(r.doc_id): r.lang_guess
+        for r in entry.lang_id_heuristic(spark, SF_DIR).collect()
+    }
+    rows = entry.ccnet_pipeline(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.lang_detected == guesses[int(r.doc_id)]
+        assert bool(r.keep) == (r.bucket in ("head", "middle"))
+    buckets = {r.bucket for r in rows}
+    assert {"head", "middle"} <= buckets, "cutoffs must split the fixture"

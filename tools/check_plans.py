@@ -553,6 +553,25 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # 34l12. CCNet composed pipeline: detected-lang scoring + sampled
+    # bucketing in one plan — vocab aggregate, AQE scoring join, one
+    # doc_id shuffle, sample-sized windows, a languages-row cuts
+    # broadcast; 7 static exchanges, all bounded or key-reused; no
+    # Python, nothing cartesian, no SMJ at this sf.
+    check(
+        "ccnet_pipeline_composed_bounded",
+        allq["ccnet_pipeline"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Window", r"BroadcastHashJoin"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        max_exchanges=7,
+        materialize=True,
+    )
+
     # 34l11. Page outlinks: a single vectorized extraction pass — the
     # MapInPandas anchor walk is the operator (same design as the
     # extraction UDF), with NO exchange, NO join, NO aggregate anywhere.
