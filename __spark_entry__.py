@@ -3364,6 +3364,116 @@ def quality_score_auto(spark, sf_dir):
     return _score_auto(_docs(spark, sf_dir))
 
 
+from readability_spark.spark.modelscore import (  # noqa: E402
+    CT_DIMS as _CT_DIMS,
+    CT_FP as _CT_FP,
+    CT_ITERS as _CT_ITERS,
+    CT_LABEL_THRESHOLD as _CT_THR,
+    CT_LR as _CT_LR,
+    CT_STOPWORDS as _CT_STOPS,
+    classifier_train as _classifier_train,
+)
+
+
+def _ct_bucket_sql(dims):
+    """DuckDB twin of modelscore._ct_bucket: md5 first byte -> [0, dims)."""
+    return (
+        f"((strpos('{_DSIR_HEX}', substr(md5(t), 1, 1)) - 1) * 16"
+        f" + (strpos('{_DSIR_HEX}', substr(md5(t), 2, 1)) - 1)) % {dims}"
+    )
+
+
+def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
+    """Unrolled DuckDB replay of the gradient-descent loop: per iteration
+    one fixed-point gradient aggregate (g{i}) and one 1-row weight update
+    (w{i}), every arithmetic expression written in EXACTLY the Spark
+    fold's operation order so both engines produce bit-identical doubles
+    (the `_ivf_train_sql` device, applied to GD)."""
+    fpl = f"{float(fp):.1f}"
+    stops = ", ".join(f"'{s}'" for s in _CT_STOPS)
+    xs = ",\n             ".join(
+        f"CAST(len(list_filter(arr, t -> {_ct_bucket_sql(dims)} = {k})) AS DOUBLE)"
+        f" / len(arr) AS x{k}"
+        for k in range(dims)
+    )
+    zsum = " + ".join(f"w.c{k} * f.x{k}" for k in range(dims)) + " + w.cb"
+    gsums = ",\n             ".join(
+        f"sum(CAST(floor(((t * x{k}) * {fpl}) + 0.5) AS BIGINT)) AS s{k}"
+        for k in range(dims)
+    )
+    xcols = ", ".join(f"x{k}" for k in range(dims))
+    sql = f"""
+    WITH f AS (
+      SELECT CAST((CAST(len(list_filter(arr, t -> t IN ({stops}))) AS DOUBLE)
+                   / len(arr)) >= {_CT_THR!r} AS DOUBLE) AS y,
+             {xs}
+      FROM (SELECT string_split(trim(text), ' ') AS arr
+            FROM documents WHERE trim(text) != '')
+    ),
+    w0 AS (SELECT {", ".join(f"0.0 AS c{k}" for k in range(dims))}, 0.0 AS cb)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+    g{i} AS (
+      SELECT {gsums},
+             sum(CAST(floor((t * {fpl}) + 0.5) AS BIGINT)) AS s{dims},
+             count(*) AS nd
+      FROM (
+        SELECT {xcols},
+               ((0.5 + 0.5 * (z / az)) - y) * (0.5 / (az * az)) AS t
+        FROM (
+          SELECT {xcols}, y, z, 1.0 + abs(z) AS az
+          FROM (SELECT f.*, {zsum} AS z FROM f, w{i - 1} w)
+        )
+      )
+    ),
+    w{i} AS (
+      SELECT {", ".join(
+        f"w.c{k} - {lr!r} * ((CAST(g.s{k} AS DOUBLE) / {fpl}) / g.nd) AS c{k}"
+        for k in range(dims)
+      )},
+             w.cb - {lr!r} * ((CAST(g.s{dims} AS DOUBLE) / {fpl}) / g.nd) AS cb,
+             {", ".join(f"g.s{k}" for k in range(dims + 1))}, g.nd
+      FROM g{i} g, w{i - 1} w
+    )"""
+    branches = [
+        f"SELECT CAST({k} AS INTEGER) AS dim, round(c{k}, 6) AS weight,"
+        f" CAST(s{k} AS BIGINT) AS grad_sum_fixed, CAST(nd AS BIGINT) AS n_docs"
+        f" FROM w{iters}"
+        for k in range(dims)
+    ] + [
+        f"SELECT CAST({dims} AS INTEGER), round(cb, 6),"
+        f" CAST(s{dims} AS BIGINT), CAST(nd AS BIGINT) FROM w{iters}"
+    ]
+    return sql + "\n    " + "\n    UNION ALL ".join(branches)
+
+
+@_q("classifier_train", _classifier_train_sql())
+def classifier_train(spark, sf_dir):
+    """Quality-classifier TRAINING (modelscore.classifier_train) — the
+    learning half of the scoring story: `quality_classifier_hashed` and
+    `quality_score_auto` APPLY a hashed-linear weight vector, this LEARNS
+    one by full-batch gradient descent from weak-supervision rule labels
+    (the Gopher stopword-fraction rule — the published fasttext-bootstrap
+    recipe: cheap rule labels in, learned scorer out).  Completes the
+    train/apply pairs alongside `bpe_train`/`bpe_tokenize` and
+    `ivf_train`/`ann_ivf_topk`.
+
+    Scale shape (same discipline as `ivf_train`): per iteration the corpus
+    is scanned once and NEVER shuffled — the gradient is ONE bounded
+    aggregate whose output is D+1 fixed-point integer sums regardless of
+    corpus size (map-side combine caps the shuffle at D+1 values per
+    task), and the weight update runs on 1-row frames broadcast back into
+    the next round.  Gradient contributions are quantized to
+    floor(g * 2^24 + 0.5) BIGINTs so integer summation makes the learned
+    weights bit-identical under any partitioning, and the squash is the
+    rational Elliott fast-sigmoid, so the DuckDB oracle replays the whole
+    loop hash-exactly.  Python never touches the corpus (all built-ins).
+    D=8 buckets / 3 iterations are contract constants keeping the
+    unrolled oracle readable; a 2M-bucket production run is the same plan
+    with a bigger (still bounded) aggregate row."""
+    return _classifier_train(_docs(spark, sf_dir))
+
+
 #: Gopher required stopwords (Rae et al. 2021, public heuristics)
 from readability_spark.spark.quality import GOPHER_STOPS as _GOPHER_STOPS
 from readability_spark.spark.quality import gopher_signals as _gopher_signals

@@ -263,3 +263,116 @@ def test_ccnet_pipeline_composition_consistency(spark):
         assert bool(r.keep) == (r.bucket in ("head", "middle"))
     buckets = {r.bucket for r in rows}
     assert {"head", "middle"} <= buckets, "cutoffs must split the fixture"
+
+
+# ------------------------------------------------------ classifier train
+def _ct_features():
+    """Pure-Python replay of modelscore.classifier_features at sf0.001:
+    md5-hashed bag-of-words frequencies + the Gopher stopword-rule label."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    import hashlib
+
+    feats = []
+    for _, text in rows:
+        if text is None or not text.strip():
+            continue
+        arr = text.strip().split(" ")
+        n = len(arr)
+        f = [0] * ms.CT_DIMS
+        stop = 0
+        for t in arr:
+            f[int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % ms.CT_DIMS] += 1
+            if t in ms.CT_STOPWORDS:
+                stop += 1
+        y = 1.0 if stop / n >= ms.CT_LABEL_THRESHOLD else 0.0
+        feats.append((n, y, f))
+    return feats
+
+
+def _ct_train_replay(feats):
+    """Pure-Python replay of the GD loop in modelscore.classifier_train:
+    same left-associative z fold, Elliott squash, fixed-point gradient
+    quantization, and 1-row weight update — IEEE-identical by op order."""
+    import math
+
+    D, fp, lr = ms.CT_DIMS, float(ms.CT_FP), ms.CT_LR
+    w, b = [0.0] * D, 0.0
+    for _ in range(ms.CT_ITERS):
+        s = [0] * (D + 1)
+        nd = 0
+        for n, y, f in feats:
+            x = [fk / n for fk in f]
+            z = w[0] * x[0]
+            for k in range(1, D):
+                z = z + w[k] * x[k]
+            z = z + b
+            az = 1.0 + abs(z)
+            p = 0.5 + 0.5 * (z / az)
+            t = (p - y) * (0.5 / (az * az))
+            for k in range(D):
+                s[k] += math.floor(t * x[k] * fp + 0.5)
+            s[D] += math.floor(t * fp + 0.5)
+            nd += 1
+        w = [w[k] - lr * ((s[k] / fp) / nd) for k in range(D)]
+        b = b - lr * ((s[D] / fp) / nd)
+    return w, b, s, nd
+
+
+class TestClassifierTrain:
+    def test_python_replay_of_gd_loop(self, spark):
+        """Spark's learned weights must match the pure-Python GD replay:
+        the final-round fixed-point gradient sums EXACTLY (integers — the
+        bit-identity proof), the weights to rounding tolerance, and the
+        training must actually move off the zero init."""
+        got = {
+            int(r.dim): (float(r.weight), int(r.grad_sum_fixed), int(r.n_docs))
+            for r in entry.classifier_train(spark, SF_DIR).collect()
+        }
+        w, b, s, nd = _ct_train_replay(_ct_features())
+        assert set(got) == set(range(ms.CT_DIMS + 1))
+        for k in range(ms.CT_DIMS):
+            gw, gs, gn = got[k]
+            assert gs == s[k], f"dim {k} gradient sum"
+            assert gn == nd
+            assert abs(gw - w[k]) <= 5e-7, f"dim {k} weight"
+        gw, gs, gn = got[ms.CT_DIMS]
+        assert gs == s[ms.CT_DIMS] and gn == nd
+        assert abs(gw - b) <= 5e-7
+        # the rule labels are not degenerate and learning moved the model
+        assert any(abs(v) > 1e-9 for v, _, _ in got.values())
+
+    def test_trained_weights_drive_scoring(self, spark):
+        """classifier_weights_from_training -> trained_logit is the apply
+        path: per-doc z must equal the same hashed-frequency fold in
+        Python with the learned weights (train/apply pair, like
+        bpe_train -> bpe_tokenize(rank=...))."""
+        import hashlib
+
+        weights, bias = ms.classifier_weights_from_training(
+            entry.classifier_train(spark, SF_DIR)
+        )
+        assert len(weights) == ms.CT_DIMS
+        docs = entry._docs(spark, SF_DIR).filter(F.trim("text") != "")
+        got = {
+            int(r.doc_id): float(r.z)
+            for r in docs.select(
+                "doc_id", ms.trained_logit(F.col("text"), weights, bias).alias("z")
+            ).collect()
+        }
+        for r in docs.select("doc_id", "text").collect():
+            arr = r.text.strip().split(" ")
+            n = len(arr)
+            f = [0] * ms.CT_DIMS
+            for t in arr:
+                f[int(hashlib.md5(t.encode()).hexdigest()[:2], 16) % ms.CT_DIMS] += 1
+            z = None
+            for k in range(ms.CT_DIMS):
+                term = weights[k] * (f[k] / n)
+                z = term if z is None else z + term
+            z = z + bias
+            assert abs(got[int(r.doc_id)] - z) <= 1e-12, r.doc_id

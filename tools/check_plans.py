@@ -553,6 +553,26 @@ def main():
         must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct", r"Sort\b.*global=true"],
     )
 
+    # classifier_train: distributed GD where the corpus is scanned once
+    # per iteration and NEVER keyed-shuffled — every Exchange is a
+    # SinglePartition carrying D+2 fixed-point gradient sums (bounded by
+    # contract constants), weights ride back as 1-row broadcasts
+    # (BroadcastNestedLoopJoin is the intended 1-row cross shape), and
+    # Python never touches the corpus
+    check(
+        "classifier_train_gd_no_corpus_shuffle",
+        allq["classifier_train"](spark, SF_DIR),
+        must=[r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        must_not=[
+            r"hashpartitioning",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        max_exchanges=7,
+    )
+
     # 34l12. CCNet composed pipeline: detected-lang scoring + sampled
     # bucketing in one plan — vocab aggregate, AQE scoring join, one
     # doc_id shuffle, sample-sized windows, a languages-row cuts
@@ -892,6 +912,18 @@ def main():
                 "F.broadcast(cb)",
                 "ivf_train per-iteration codebook collapsed to ONE row of K "
                 "structs — K is a contract constant, not data-dependent",
+            ),
+        ],
+        "readability_spark/spark/modelscore.py": [
+            (
+                "F.broadcast(wrow)",
+                "classifier_train weight row — exactly ONE row of D+1 "
+                "doubles (D a contract constant) per iteration",
+            ),
+            (
+                "F.broadcast(g)",
+                "classifier_train gradient — a global aggregate's single "
+                "output row (D+2 values) regardless of corpus size",
             ),
         ],
         "__spark_entry__.py": [
