@@ -3371,6 +3371,7 @@ from readability_spark.spark.modelscore import (  # noqa: E402
     CT_LABEL_THRESHOLD as _CT_THR,
     CT_LR as _CT_LR,
     CT_STOPWORDS as _CT_STOPS,
+    classifier_score_trained as _classifier_score_trained,
     classifier_train as _classifier_train,
 )
 
@@ -3383,12 +3384,21 @@ def _ct_bucket_sql(dims):
     )
 
 
-def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
-    """Unrolled DuckDB replay of the gradient-descent loop: per iteration
-    one fixed-point gradient aggregate (g{i}) and one 1-row weight update
+def _classifier_zsum(dims):
+    """z = c0*x0 + c1*x1 + ... + cb, the strictly left-associative fold
+    both engines and both consumers (training + scoring) share."""
+    return " + ".join(f"w.c{k} * f.x{k}" for k in range(dims)) + " + w.cb"
+
+
+def _classifier_ctes(dims, iters, lr, fp):
+    """Shared unrolled-CTE chain replaying `_gd_weight_row` in DuckDB:
+    f (per-doc hashed features + rule label), then per iteration one
+    fixed-point gradient aggregate (g{i}) and one 1-row weight update
     (w{i}), every arithmetic expression written in EXACTLY the Spark
     fold's operation order so both engines produce bit-identical doubles
-    (the `_ivf_train_sql` device, applied to GD)."""
+    (the `_ivf_train_sql` device, applied to GD).  `classifier_train`'s
+    oracle appends the weight UNION, `classifier_score_trained`'s the
+    per-doc scoring select."""
     fpl = f"{float(fp):.1f}"
     stops = ", ".join(f"'{s}'" for s in _CT_STOPS)
     xs = ",\n             ".join(
@@ -3396,7 +3406,7 @@ def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
         f" / len(arr) AS x{k}"
         for k in range(dims)
     )
-    zsum = " + ".join(f"w.c{k} * f.x{k}" for k in range(dims)) + " + w.cb"
+    zsum = _classifier_zsum(dims)
     gsums = ",\n             ".join(
         f"sum(CAST(floor(((t * x{k}) * {fpl}) + 0.5) AS BIGINT)) AS s{k}"
         for k in range(dims)
@@ -3404,10 +3414,11 @@ def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
     xcols = ", ".join(f"x{k}" for k in range(dims))
     sql = f"""
     WITH f AS (
-      SELECT CAST((CAST(len(list_filter(arr, t -> t IN ({stops}))) AS DOUBLE)
+      SELECT doc_id,
+             CAST((CAST(len(list_filter(arr, t -> t IN ({stops}))) AS DOUBLE)
                    / len(arr)) >= {_CT_THR!r} AS DOUBLE) AS y,
              {xs}
-      FROM (SELECT string_split(trim(text), ' ') AS arr
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS arr
             FROM documents WHERE trim(text) != '')
     ),
     w0 AS (SELECT {", ".join(f"0.0 AS c{k}" for k in range(dims))}, 0.0 AS cb)"""
@@ -3435,6 +3446,13 @@ def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
              {", ".join(f"g.s{k}" for k in range(dims + 1))}, g.nd
       FROM g{i} g, w{i - 1} w
     )"""
+    return sql
+
+
+def _classifier_train_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
+    """classifier_train oracle: the shared GD CTE chain + the flat
+    (dim, weight, grad_sum_fixed, n_docs) UNION over w{iters}."""
+    sql = _classifier_ctes(dims, iters, lr, fp)
     branches = [
         f"SELECT CAST({k} AS INTEGER) AS dim, round(c{k}, 6) AS weight,"
         f" CAST(s{k} AS BIGINT) AS grad_sum_fixed, CAST(nd AS BIGINT) AS n_docs"
@@ -3472,6 +3490,43 @@ def classifier_train(spark, sf_dir):
     unrolled oracle readable; a 2M-bucket production run is the same plan
     with a bigger (still bounded) aggregate row."""
     return _classifier_train(_docs(spark, sf_dir))
+
+
+def _classifier_score_sql(dims=_CT_DIMS, iters=_CT_ITERS, lr=_CT_LR, fp=_CT_FP):
+    """classifier_score_trained oracle: the shared GD CTE chain + a
+    per-doc scoring select over f x w{iters} — identical z fold and
+    Elliott squash, so every score double is bit-identical (no rounding
+    anywhere: exact IEEE doubles hash-match by construction)."""
+    sql = _classifier_ctes(dims, iters, lr, fp)
+    return sql + f""",
+    scored AS (
+      SELECT doc_id, 0.5 + 0.5 * (z / az) AS p, y
+      FROM (SELECT doc_id, y, z, 1.0 + abs(z) AS az
+            FROM (SELECT f.doc_id, f.y, {_classifier_zsum(dims)} AS z
+                  FROM f, w{iters} w))
+    )
+    SELECT doc_id, p AS score, CAST(y AS INTEGER) AS rule_label,
+           p >= 0.5 AS keep
+    FROM scored"""
+
+
+@_q("classifier_score_trained", _classifier_score_sql())
+def classifier_score_trained(spark, sf_dir):
+    """Train-and-serve composition (modelscore.classifier_score_trained):
+    the `classifier_train` GD loop and the corpus-wide application of its
+    learned weights in ONE lazy plan — scoring consumes the EXACT
+    unrounded doubles still sitting in the 1-row weight frame (broadcast
+    into a map-side projection; no driver round-trip, no rounding seam).
+    The closed loop `cluster_mix_report` gives the IVF codebook, given to
+    the quality classifier: rule labels in, learned scorer out, corpus
+    scored, keep = score >= 0.5.
+
+    Scale shape: the training rounds are `classifier_train`'s plan
+    verbatim (every exchange a SinglePartition of D+2 bounded values);
+    serving adds one more corpus scan against the broadcast weights —
+    ZERO keyed shuffles end to end (plan-gated), and the output doubles
+    are bit-identical under any partitioning because the weights are."""
+    return _classifier_score_trained(_docs(spark, sf_dir))
 
 
 #: Gopher required stopwords (Rae et al. 2021, public heuristics)

@@ -224,6 +224,33 @@ def classifier_train(
     the FINAL iteration's exact integer gradient sums alongside, so a
     consumer (or the oracle) can verify convergence state.
     """
+    feats, wrow = _gd_weight_row(docs, dims, iters, lr, fp, id_col, text_col)
+    cols = [F.col(f"c{k}") for k in range(dims)] + [F.col("cb")]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).cast("int").alias("dim"),
+                    cols[k].alias("w"),
+                    F.col(f"s{k}").cast("long").alias("sf"),
+                )
+                for k in range(dims + 1)
+            ]
+        )
+    ).alias("r")
+    return wrow.select(rows, F.col("nd")).select(
+        F.col("r.dim").alias("dim"),
+        F.round(F.col("r.w"), 6).alias("weight"),
+        F.col("r.sf").alias("grad_sum_fixed"),
+        F.col("nd").cast("long").alias("n_docs"),
+    )
+
+
+def _gd_weight_row(docs, dims, iters, lr, fp, id_col, text_col):
+    """The GD loop shared by `classifier_train` (which emits the weights)
+    and `classifier_score_trained` (which applies them in the same lazy
+    plan): returns (feature frame, final 1-row weight frame carrying
+    c0..c{D-1}, cb plus the last round's exact integer gradient sums)."""
     spark = docs.sparkSession
     feats = classifier_features(docs, dims, id_col, text_col)
     wrow = spark.range(1).select(
@@ -266,24 +293,46 @@ def classifier_train(
         wrow = wrow.crossJoin(F.broadcast(g)).select(
             *upd, *[F.col(f"s{k}") for k in range(dims + 1)], F.col("nd")
         )
-    cols = [F.col(f"c{k}") for k in range(dims)] + [F.col("cb")]
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).cast("int").alias("dim"),
-                    cols[k].alias("w"),
-                    F.col(f"s{k}").cast("long").alias("sf"),
-                )
-                for k in range(dims + 1)
-            ]
-        )
-    ).alias("r")
-    return wrow.select(rows, F.col("nd")).select(
-        F.col("r.dim").alias("dim"),
-        F.round(F.col("r.w"), 6).alias("weight"),
-        F.col("r.sf").alias("grad_sum_fixed"),
-        F.col("nd").cast("long").alias("n_docs"),
+    return feats, wrow
+
+
+def classifier_score_trained(
+    docs: DataFrame,
+    dims=CT_DIMS,
+    iters=CT_ITERS,
+    lr=CT_LR,
+    fp=CT_FP,
+    id_col="doc_id",
+    text_col="text",
+) -> DataFrame:
+    """Train-and-serve in ONE lazy plan: run the `classifier_train` GD
+    loop, then score every document with the EXACT final weights — the
+    unrounded doubles still in the 1-row weight frame, broadcast into a
+    map-side scoring projection (no driver round-trip, no rounding
+    seam; the same closed-loop consumption `cluster_mix_report` gives
+    the IVF codebook).  p is the training squash (Elliott rational), so
+    keep == (p >= 0.5) == (z >= 0), and every output double is
+    bit-identical to the oracle's replay of the identical arithmetic.
+
+    Scale shape: the training rounds are the `classifier_train` plan
+    verbatim (bounded SinglePartition gradient exchanges only); scoring
+    adds ONE more corpus scan crossJoined against the broadcast 1-row
+    weights — still zero keyed shuffles end to end."""
+    feats, wrow = _gd_weight_row(docs, dims, iters, lr, fp, id_col, text_col)
+    weights = wrow.select(*[F.col(f"c{k}") for k in range(dims)], F.col("cb"))
+    j = feats.crossJoin(F.broadcast(weights))
+    x = [F.col(f"f{k}").cast("double") / F.col("n") for k in range(dims)]
+    z = F.col("c0") * x[0]
+    for k in range(1, dims):
+        z = z + F.col(f"c{k}") * x[k]
+    z = z + F.col("cb")
+    az = F.lit(1.0) + F.abs(z)
+    p = F.lit(0.5) + F.lit(0.5) * (z / az)
+    return j.select(
+        F.col(id_col),
+        p.alias("score"),
+        F.col("y").cast("int").alias("rule_label"),
+        (p >= F.lit(0.5)).alias("keep"),
     )
 
 

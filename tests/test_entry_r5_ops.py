@@ -267,6 +267,10 @@ def test_ccnet_pipeline_composition_consistency(spark):
 
 # ------------------------------------------------------ classifier train
 def _ct_features():
+    return [(n, y, f) for _, n, y, f in _ct_features_with_ids()]
+
+
+def _ct_features_with_ids():
     """Pure-Python replay of modelscore.classifier_features at sf0.001:
     md5-hashed bag-of-words frequencies + the Gopher stopword-rule label."""
     import duckdb
@@ -278,7 +282,7 @@ def _ct_features():
     import hashlib
 
     feats = []
-    for _, text in rows:
+    for doc_id, text in rows:
         if text is None or not text.strip():
             continue
         arr = text.strip().split(" ")
@@ -290,7 +294,7 @@ def _ct_features():
             if t in ms.CT_STOPWORDS:
                 stop += 1
         y = 1.0 if stop / n >= ms.CT_LABEL_THRESHOLD else 0.0
-        feats.append((n, y, f))
+        feats.append((int(doc_id), n, y, f))
     return feats
 
 
@@ -376,3 +380,28 @@ class TestClassifierTrain:
                 z = term if z is None else z + term
             z = z + bias
             assert abs(got[int(r.doc_id)] - z) <= 1e-12, r.doc_id
+
+    def test_composed_scoring_matches_replay_exactly(self, spark):
+        """classifier_score_trained must score with the EXACT unrounded
+        learned weights: per-doc score equals the pure-Python GD replay
+        + scoring fold bit-for-bit (== on doubles — the no-rounding-seam
+        claim), and keep == (score >= 0.5)."""
+        got = {
+            int(r.doc_id): (float(r.score), int(r.rule_label), bool(r.keep))
+            for r in entry.classifier_score_trained(spark, SF_DIR).collect()
+        }
+        feats = _ct_features_with_ids()
+        w, b, _, _ = _ct_train_replay([(n, y, f) for _, n, y, f in feats])
+        assert len(got) == len(feats)
+        for doc_id, n, y, f in feats:
+            x = [fk / n for fk in f]
+            z = w[0] * x[0]
+            for k in range(1, ms.CT_DIMS):
+                z = z + w[k] * x[k]
+            z = z + b
+            az = 1.0 + abs(z)
+            p = 0.5 + 0.5 * (z / az)
+            gs, gl, gk = got[doc_id]
+            assert gs == p, f"doc {doc_id}: {gs!r} != {p!r}"
+            assert gl == int(y)
+            assert gk == (gs >= 0.5)

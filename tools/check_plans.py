@@ -573,6 +573,23 @@ def main():
         max_exchanges=7,
     )
 
+    # classifier_score_trained: the GD rounds verbatim plus ONE more
+    # corpus scan against the broadcast 1-row weights — still zero keyed
+    # shuffles end to end (the serving scan adds no Exchange at all)
+    check(
+        "classifier_score_trained_zero_keyed_shuffle",
+        allq["classifier_score_trained"](spark, SF_DIR),
+        must=[r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        must_not=[
+            r"hashpartitioning",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        max_exchanges=7,
+    )
+
     # 34l12. CCNet composed pipeline: detected-lang scoring + sampled
     # bucketing in one plan — vocab aggregate, AQE scoring join, one
     # doc_id shuffle, sample-sized windows, a languages-row cuts
@@ -924,6 +941,11 @@ def main():
                 "F.broadcast(g)",
                 "classifier_train gradient — a global aggregate's single "
                 "output row (D+2 values) regardless of corpus size",
+            ),
+            (
+                "F.broadcast(weights)",
+                "classifier_score_trained serving weights — the same ONE "
+                "row, projected to c0..c{D-1}, cb",
             ),
         ],
         "__spark_entry__.py": [
