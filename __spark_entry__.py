@@ -245,6 +245,105 @@ def page_outlinks(spark, sf_dir):
 
 
 @_q(
+    "anchor_text_profile",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || (CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END)
+               || '.example.com' AS dom,
+             {_SQL_URL} AS url
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, dom, url, '/home' AS href, 'Home' AS anchor_text
+      FROM base
+      UNION ALL
+      SELECT doc_id, dom, url, '/promo/' || doc_id || '/' || j AS href,
+             'Promoted story ' || j AS anchor_text
+      FROM base, range(8) r(j)
+    ),
+    l AS (SELECT url, dom || href AS target, anchor_text FROM links),
+    toks AS (SELECT url, target, t AS term
+             FROM l, UNNEST(string_split(anchor_text, ' ')) u(t)),
+    tt AS (SELECT target, term, count(*) AS term_count
+           FROM toks GROUP BY target, term),
+    st AS (SELECT target, count(*) AS n_inlinks,
+                  count(DISTINCT url) AS n_sources
+           FROM l GROUP BY target),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY target
+             ORDER BY term_count DESC, term ASC) AS term_rank FROM tt)
+    SELECT st.target AS target, n_inlinks, n_sources,
+           CAST(term_rank AS INT) AS term_rank, term, term_count
+    FROM rk JOIN st USING (target) WHERE term_rank <= 3
+    """,
+)
+def anchor_text_profile(spark, sf_dir):
+    """Inbound anchor-text profile per link target — the webgraph quality
+    signal search and FineWeb-style curation pipelines aggregate: what the
+    REST of the web calls a page (inlink count, distinct referring pages,
+    top anchor terms) is a stronger quality/topic prior than anything on
+    the page itself.  Consumes the engine's own extracted link graph
+    (`page_outlinks` — DOM-parsed anchors, hrefs resolved under mozilla
+    rules), emitting per target the inlink/source counts and the top-3
+    anchor terms ranked (count DESC, term ASC).
+
+    Scale shape: both aggregates are map-combinable counts, so the hot
+    targets every webgraph has (here /home per domain, 40% of pages on
+    one salted domain by construction) combine map-side before the
+    (target)/(target, term) exchanges; the ranking window's input is
+    DISTINCT TERMS per target — anchor-vocabulary-bounded, never
+    inlink-cardinality — and the final stats join is target-keyed on
+    frames already partitioned by target (AQE decides broadcast; both
+    sides are data-dependent so no forced hint).  No Python beyond the
+    shared outlink extraction pass."""
+    from pyspark.sql import Window
+
+    from readability_spark.spark.links import page_outlinks as extract_links
+    from readability_spark.spark.pages import junk_pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # The profile needs the link table at TWO grains ((target, term) and
+    # (target)), and Spark's column pruning pushes a different projection
+    # below any shared exchange per branch, defeating exchange reuse — so
+    # without a barrier the expensive Python extraction pass would run
+    # once PER GRAIN.  localCheckpoint is that barrier (the
+    # dedup_clusters/pagerank lineage-truncation device): extraction runs
+    # ONCE, both aggregates read the materialized link table.  At 10^12
+    # pages this is also simply how the job is run — the extracted link
+    # table is a persisted intermediate shared by pagerank_links/host
+    # stats, not something to recompute per consumer.
+    links = (
+        extract_links(junk_pages_from_documents(docs))
+        .select("url", "target", "anchor_text")
+        .localCheckpoint(eager=False)
+    )
+    toks = links.select(
+        "target", F.explode(F.split("anchor_text", " ")).alias("term")
+    )
+    tt = toks.groupBy("target", "term").agg(
+        F.count(F.lit(1)).alias("term_count")
+    )
+    st = links.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("url").alias("n_sources"),
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("term_count").desc(), F.col("term").asc()
+    )
+    ranked = tt.withColumn("term_rank", F.row_number().over(w)).filter(
+        F.col("term_rank") <= 3
+    )
+    return ranked.join(st, "target").select(
+        "target",
+        "n_inlinks",
+        "n_sources",
+        "term_rank",
+        "term",
+        "term_count",
+    )
+
+
+@_q(
     "extract_media_text",
     f"""
     SELECT {_SQL_URL} AS url,
@@ -2224,6 +2323,125 @@ def ann_ivf_topk(spark, sf_dir):
     return textops.ann_ivf_topk(emb, centroids, query, k=10)
 
 
+#: ann_recall_report contract constants: the bounded evaluation query
+#: sample (3 fixed vec_ids spanning distinct buckets at this sf) and the
+#: serving k.  A production eval samples ~10^3 queries — still bounded by
+#: contract, never corpus-cardinality.
+_ANN_EVAL_QIDS = (0, 7, 19)
+_ANN_EVAL_K = 10
+
+_ANN_COS_AQ = (
+    "list_dot_product(a.embedding, q.qvec)"
+    " / (sqrt(list_dot_product(a.embedding, a.embedding))"
+    "    * sqrt(list_dot_product(q.qvec, q.qvec)))"
+)
+
+
+def _ann_recall_sql(qids=_ANN_EVAL_QIDS, k=_ANN_EVAL_K):
+    """DuckDB twin of ann_recall_report: the ann_ivf_topk assignment CTEs,
+    then per evaluation query an exact brute-force truth top-k and the
+    served bucket-probe top-k, both ranked by (round(cos,4) DESC, vec_id)
+    so the k-boundary is tie-free and engine-identical."""
+    base = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             list_dot_product(e.embedding, c.cvec)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+      FROM e, c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    )"""
+    parts, branches = [], []
+    for q in qids:
+        parts.append(
+            f""",
+    q{q} AS (SELECT vec_id AS qid, embedding AS qvec, centroid_id AS qcent
+             FROM assigned WHERE vec_id = {q}),
+    truth{q} AS (
+      SELECT a.vec_id FROM e a, q{q} q WHERE a.vec_id != q.qid
+      ORDER BY round({_ANN_COS_AQ}, 4) DESC, a.vec_id ASC LIMIT {k}),
+    ann{q} AS (
+      SELECT a.vec_id FROM assigned a, q{q} q
+      WHERE a.centroid_id = q.qcent AND a.vec_id != q.qid
+      ORDER BY round({_ANN_COS_AQ}, 4) DESC, a.vec_id ASC LIMIT {k})"""
+        )
+        hits = (
+            f"(SELECT count(*) FROM ann{q}"
+            f" WHERE vec_id IN (SELECT vec_id FROM truth{q}))"
+        )
+        branches.append(
+            f"""SELECT CAST({q} AS BIGINT) AS qid,
+           (SELECT count(*) FROM truth{q}) AS n_truth,
+           (SELECT count(*) FROM ann{q}) AS n_ann,
+           {hits} AS n_hits,
+           CASE WHEN (SELECT count(*) FROM truth{q}) > 0
+                THEN CAST({hits} AS DOUBLE)
+                     / (SELECT count(*) FROM truth{q}) END AS recall_at_k"""
+        )
+    return base + "".join(parts) + "\n    " + "\n    UNION ALL ".join(branches)
+
+
+@_q("ann_recall_report", _ann_recall_sql())
+def ann_recall_report(spark, sf_dir):
+    """ANN index evaluation — measured recall@k of the nprobe=1 IVF probe
+    against exact brute-force truth, per evaluation query: the tuning
+    harness run BEFORE committing an IVF layout to a 10^12-vector corpus
+    (the `lsh_recall_report` discipline applied to the embedding index —
+    together they cover both retrieval index families).  Output: one row
+    per query (qid, n_truth, n_ann, n_hits, recall_at_k); n_ann < k
+    exposes under-filled probe buckets, the signal to raise nprobe or
+    retrain the codebook.
+
+    Scale shape: the expensive half (exact truth) runs ONLY over the
+    bounded contract query sample — per query one map-side cosine
+    projection against a broadcast 1-row vector feeding a heap top-k
+    (TakeOrderedAndProject, no corpus shuffle or sort); the served side
+    probes ~1/C of the corpus exactly as `ann_ivf_topk` does.  All
+    intersections/counts happen on k-row frames.  Ranking is on
+    round(cosine, 4) with a vec_id tie-break, so the k-boundary is
+    deterministic and both engines select identical sets."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    rows = None
+    for qid in _ANN_EVAL_QIDS:
+        query = emb.filter(F.col("vec_id") == qid)
+        qv = query.select(F.col("embedding").alias("qvec"))
+        cos = textops._cosine(F.col("embedding"), F.col("qvec"))
+        truth = (
+            emb.filter(F.col("vec_id") != qid)
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", F.round(cos, 4).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+            .limit(_ANN_EVAL_K)
+        )
+        ann = textops.ann_ivf_topk(emb, centroids, query, k=_ANN_EVAL_K)
+        hits = ann.join(truth.select("vec_id"), "vec_id", "semi")
+        row = (
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(ann.agg(F.count(F.lit(1)).alias("n_ann")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(qid).cast("long").alias("qid"),
+                "n_truth",
+                "n_ann",
+                "n_hits",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.col("n_hits").cast("double") / F.col("n_truth"),
+                ).alias("recall_at_k"),
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
 #: ivf_train contract constants: K centroids, Lloyd iterations.  A
 #: production IVF index trains K ~ sqrt(corpus) (e.g. 4096-65536) for ~10
 #: iterations; 4x3 keeps the unrolled DuckDB oracle readable — the
@@ -2919,6 +3137,69 @@ def token_stats(spark, sf_dir):
             "n_distinct_tokens"
         ),
         F.regexp_count("text", F.lit(bpe)).alias("n_bpe_tokens"),
+    )
+
+
+#: doc_chunks contract constants: 64-token windows sliding by 48 (16-token
+#: overlap) — the embedding/RAG preprocessing shape; production values
+#: (512/128) change only the literals, not the plan.
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@_q(
+    "doc_chunks",
+    f"""
+    SELECT doc_id,
+           i AS chunk_no,
+           i * {_CHUNK_STRIDE} AS start_token,
+           least({_CHUNK_SIZE}, n - i * {_CHUNK_STRIDE}) AS n_chunk_tokens,
+           array_to_string(
+             arr[i * {_CHUNK_STRIDE} + 1 : i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}],
+             ' ') AS chunk_text
+    FROM (SELECT doc_id, arr, len(arr) AS n
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS arr
+                FROM documents WHERE trim(text) != '')),
+         UNNEST(range(CAST(floor((n - 1) / {_CHUNK_STRIDE}) AS BIGINT) + 1))
+           AS t(i)
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Sliding token-window document chunking — the embedding/RAG
+    preprocessing step every retrieval pipeline runs before embedding:
+    each document becomes ceil(n/stride) chunks of up to CHUNK_SIZE
+    whitespace tokens overlapping by OVERLAP, with (chunk_no,
+    start_token) provenance so chunk hits map back to document spans.
+    Every token lands in at least one chunk; chunk boundaries are pure
+    arithmetic on token positions, so the output is deterministic and
+    engine-independent.
+
+    Scale shape: MAP-ONLY — one narrow projection + one explode of an
+    arithmetic F.sequence (no Python, no join, ZERO exchanges,
+    plan-gated `doc_chunks_map_only_explode`).  Output amplification is
+    bounded by ~n/stride per doc (~1.33x tokens at 64/48), uniform
+    across partitions, so the 10^12-doc run is exactly as partitioned as
+    its input; the chunk rows stream straight into `embedding`/
+    `ann_ivf_topk`-style consumers without a repartition."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    arr = F.split(F.trim(F.col("text")), " ")
+    n = F.size(arr)
+    last = F.floor((n - F.lit(1)) / F.lit(_CHUNK_STRIDE)).cast("int")
+    d = docs.select(
+        "doc_id",
+        arr.alias("arr"),
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_no"),
+    )
+    start = F.col("chunk_no") * F.lit(_CHUNK_STRIDE)
+    piece = F.slice(F.col("arr"), start + F.lit(1), F.lit(_CHUNK_SIZE))
+    return d.select(
+        "doc_id",
+        F.col("chunk_no"),
+        start.alias("start_token"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -259,6 +259,11 @@ def main():
         "tokenizer_fertility_report",
         "page_outlinks",
         "ccnet_pipeline",
+        "classifier_train",
+        "classifier_score_trained",
+        "doc_chunks",
+        "ann_recall_report",
+        "anchor_text_profile",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

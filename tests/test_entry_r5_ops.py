@@ -405,3 +405,88 @@ class TestClassifierTrain:
             assert gs == p, f"doc {doc_id}: {gs!r} != {p!r}"
             assert gl == int(y)
             assert gk == (gs >= 0.5)
+
+
+# ------------------------------------------------------ doc chunking
+def test_doc_chunks_replay_and_coverage(spark):
+    """doc_chunks must equal the pure-Python sliding-window replay row
+    for row, and every token of every document must land in at least
+    one chunk (the no-token-dropped invariant RAG pipelines rely on)."""
+    got = {}
+    for r in entry.doc_chunks(spark, SF_DIR).collect():
+        got[(int(r.doc_id), int(r.chunk_no))] = (
+            int(r.start_token),
+            int(r.n_chunk_tokens),
+            r.chunk_text,
+        )
+    size, stride = entry._CHUNK_SIZE, entry._CHUNK_STRIDE
+    n_expected = 0
+    for d in entry._docs(spark, SF_DIR).collect():
+        if not (d.text and d.text.strip()):
+            continue
+        arr = d.text.strip().split(" ")
+        n = len(arr)
+        covered = [False] * n
+        for i in range((n - 1) // stride + 1):
+            start = i * stride
+            piece = arr[start : start + size]
+            assert got[(d.doc_id, i)] == (start, len(piece), " ".join(piece))
+            for j in range(start, min(start + size, n)):
+                covered[j] = True
+            n_expected += 1
+        assert all(covered), d.doc_id
+        # overlap: consecutive chunks share exactly OVERLAP tokens when
+        # the earlier chunk is full
+        assert (d.doc_id, (n - 1) // stride + 1) not in got
+    assert len(got) == n_expected
+
+
+# ------------------------------------------------------ ANN recall eval
+def test_ann_recall_report_consistency(spark):
+    """The eval harness must be the honest intersection of its two
+    inputs: for qid=0 the truth set IS topk_cosine's output and the
+    served set IS ann_ivf_topk's, so n_hits must equal their manual
+    intersection; all rows obey 0 <= recall <= 1 and the count bounds."""
+    rows = {int(r.qid): r for r in entry.ann_recall_report(spark, SF_DIR).collect()}
+    assert set(rows) == set(entry._ANN_EVAL_QIDS)
+    for r in rows.values():
+        assert 0 <= r.n_hits <= min(r.n_ann, r.n_truth)
+        assert r.n_ann <= entry._ANN_EVAL_K and r.n_truth <= entry._ANN_EVAL_K
+        assert r.recall_at_k == r.n_hits / r.n_truth
+    truth0 = {r.vec_id for r in entry.topk_cosine(spark, SF_DIR).collect()}
+    ann0 = {r.vec_id for r in entry.ann_ivf_topk(spark, SF_DIR).collect()}
+    assert rows[0].n_hits == len(truth0 & ann0)
+    assert rows[0].n_truth == len(truth0) and rows[0].n_ann == len(ann0)
+
+
+# ------------------------------------------------------ anchor profiles
+def test_anchor_text_profile_replay(spark):
+    """The inbound anchor profile must be the exact rollup of
+    page_outlinks: per target the inlink count, distinct referring
+    pages, and top-3 anchor terms ranked (count desc, term asc)."""
+    from collections import Counter, defaultdict
+
+    links = entry.page_outlinks(spark, SF_DIR).collect()
+    inlinks: Counter = Counter()
+    sources: dict = defaultdict(set)
+    terms: dict = defaultdict(Counter)
+    for r in links:
+        inlinks[r.target] += 1
+        sources[r.target].add(r.url)
+        for t in r.anchor_text.split(" "):
+            terms[r.target][t] += 1
+    got = defaultdict(dict)
+    for r in entry.anchor_text_profile(spark, SF_DIR).collect():
+        assert r.n_inlinks == inlinks[r.target]
+        assert r.n_sources == len(sources[r.target])
+        got[r.target][r.term_rank] = (r.term, r.term_count)
+    assert set(got) == set(inlinks)
+    for target, by_rank in got.items():
+        want = sorted(terms[target].items(), key=lambda kv: (-kv[1], kv[0]))
+        assert sorted(by_rank) == list(range(1, min(3, len(want)) + 1))
+        for rank, (term, cnt) in by_rank.items():
+            assert (term, cnt) == want[rank - 1], (target, rank)
+    # the /home targets aggregate across every page of a domain — the
+    # hot-domain skew case the docstring's scale argument is about
+    hot = [t for t in inlinks if t.endswith("hot.example.com/home")]
+    assert hot and inlinks[hot[0]] > 1

@@ -573,6 +573,46 @@ def main():
         max_exchanges=7,
     )
 
+    # doc_chunks: chunking is one narrow projection + one arithmetic
+    # explode — zero exchanges, nothing joins, Python never runs
+    check(
+        "doc_chunks_map_only_explode",
+        allq["doc_chunks"](spark, SF_DIR),
+        must=[r"\(\d+\) Generate", r"explode"],
+        must_not=[r"MapInPandas", r"ArrowEvalPython", r"Join", r"HashAggregate"],
+        exact_exchanges=0,
+    )
+
+    # anchor_text_profile: the Python outlink extraction must NOT appear
+    # in the query plan — it runs ONCE into the localCheckpoint barrier
+    # (pruning-below-exchange would otherwise re-run it per grain), and
+    # both aggregation grains read the materialized link table
+    # (ExistingRDD); nothing cartesian, no sort-merge at this sf
+    check(
+        "anchor_profile_single_extraction_pass",
+        allq["anchor_text_profile"](spark, SF_DIR),
+        must=[r"ExistingRDD", r"Window", r"HashAggregate"],
+        must_not=[r"MapInPandas", r"ArrowEvalPython", r"CartesianProduct"],
+        max_exchanges=5,
+    )
+
+    # ann_recall_report: truth + served top-ks are all heap
+    # TakeOrderedAndProject branches against broadcast 1-row queries —
+    # ZERO shuffle exchanges for the whole 3-query eval
+    check(
+        "ann_recall_zero_shuffle_heap_topk",
+        allq["ann_recall_report"](spark, SF_DIR),
+        must=[r"TakeOrderedAndProject"],
+        must_not=[
+            r"hashpartitioning",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        exact_exchanges=0,
+    )
+
     # classifier_score_trained: the GD rounds verbatim plus ONE more
     # corpus scan against the broadcast 1-row weights — still zero keyed
     # shuffles end to end (the serving scan adds no Exchange at all)
@@ -955,6 +995,7 @@ def main():
             ("F.broadcast(rules)", "URL blocklist rules — fixed artifact"),
             ("F.broadcast(nrow)", "single-row corpus count"),
             ("F.broadcast(q)", "single ANN query vector"),
+            ("F.broadcast(qv)", "ann_recall_report eval query vector — 1 row"),
             ("F.broadcast(thr)", "single-row sketch-derived threshold"),
             ("F.broadcast(hot)", "stop-token set — bounded by 1/df_cap tokens"),
             ("F.broadcast(best", "single-row argmax pair (LIMIT 1) per training round"),
