@@ -4143,6 +4143,47 @@ def gopher_dup_lines(spark, sf_dir):
     )
 
 
+def _c4_rule_exprs():
+    """Shared C4 rule expressions (c4_quality_filter + the filter funnel):
+    (lines, kept, has_lorem, has_brace, keep) columns over the
+    deterministically synthesized line structure — one definition so the
+    funnel provably applies the identical rules."""
+    arr = F.split(F.trim(F.col("text")), " ")
+    k = _GL_K
+    lines0 = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
+    )
+    dotted = F.transform(lines0, lambda x: F.concat(x, F.lit(".")))
+    mod = F.col("doc_id") % 7
+    lines = (
+        F.when(mod == 0, dotted)
+        .when(
+            mod == 1,
+            F.concat(
+                dotted, F.array(F.lit("please enable javascript to view comments."))
+            ),
+        )
+        .when(mod == 2, F.concat(lines0, F.array(F.lit("lorem ipsum dolor sit amet."))))
+        .when(
+            mod == 3,
+            F.concat(dotted, F.array(F.lit("config { display mode } end."))),
+        )
+        .otherwise(lines0)
+    )
+    kept = F.filter(
+        lines,
+        lambda x: (x.endswith(".") | x.endswith("!") | x.endswith("?"))
+        & (F.size(F.split(x, " ")) >= 5)
+        & (F.instr(F.lower(x), "javascript") == 0),
+    )
+    joined = F.array_join(lines, " ")
+    has_lorem = F.instr(F.lower(joined), "lorem ipsum") > 0
+    has_brace = F.instr(joined, "{") > 0
+    keep = (F.size(kept) >= 3) & ~has_lorem & ~has_brace
+    return lines, kept, has_lorem, has_brace, keep
+
+
 @_q(
     "c4_quality_filter",
     f"""
@@ -4205,38 +4246,7 @@ def c4_quality_filter(spark, sf_dir):
     Scale: pure narrow projection over built-in array/string functions —
     no shuffle, no UDF; rides the scan like the Gopher bundles."""
     docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
-    arr = F.split(F.trim(F.col("text")), " ")
-    k = _GL_K
-    lines0 = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(arr) / float(k)).cast("int") - 1),
-        lambda i: F.array_join(F.slice(arr, i * k + 1, k), " "),
-    )
-    dotted = F.transform(lines0, lambda x: F.concat(x, F.lit(".")))
-    mod = F.col("doc_id") % 7
-    lines = (
-        F.when(mod == 0, dotted)
-        .when(
-            mod == 1,
-            F.concat(
-                dotted, F.array(F.lit("please enable javascript to view comments."))
-            ),
-        )
-        .when(mod == 2, F.concat(lines0, F.array(F.lit("lorem ipsum dolor sit amet."))))
-        .when(
-            mod == 3,
-            F.concat(dotted, F.array(F.lit("config { display mode } end."))),
-        )
-        .otherwise(lines0)
-    )
-    kept = F.filter(
-        lines,
-        lambda x: (x.endswith(".") | x.endswith("!") | x.endswith("?"))
-        & (F.size(F.split(x, " ")) >= 5)
-        & (F.instr(F.lower(x), "javascript") == 0),
-    )
-    joined = F.array_join(lines, " ")
-    has_lorem = F.instr(F.lower(joined), "lorem ipsum") > 0
-    has_brace = F.instr(joined, "{") > 0
+    lines, kept, has_lorem, has_brace, keep = _c4_rule_exprs()
     return docs.select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
@@ -5024,6 +5034,149 @@ def url_blocklist_filter(spark, sf_dir):
             F.lit("https://"), F.col("host"), F.lit("/doc-"), F.col("doc_id")
         ).alias("url"),
         "host",
+    )
+
+
+def _funnel_sql():
+    """DuckDB twin of filter_funnel_report: per-doc g/c/u rule flags built
+    from the SAME SQL fragments as the three standalone rule queries, one
+    conditional count aggregate, three cumulative stage rows."""
+    stage = (
+        "SELECT CAST({no} AS INT) AS stage_no, '{name}' AS stage,\n"
+        "           CAST({nin} AS BIGINT) AS n_in,\n"
+        "           CAST({d} AS BIGINT) AS n_dropped,\n"
+        "           CAST({nin} - {d} AS BIGINT) AS n_out,\n"
+        "           CASE WHEN {nin} > 0 THEN CAST({d} AS DOUBLE) / ({nin})"
+        " END AS drop_rate\n    FROM a"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, text, string_split(trim(text), ' ') AS toks,
+             string_split(trim(text), ' ') AS arr
+      FROM documents WHERE trim(text) != ''
+    ),
+    l0 AS (SELECT *, {_SQL_LINES0} AS lines0 FROM d),
+    l AS (
+      SELECT *, CASE
+               WHEN doc_id % 7 = 0
+                 THEN list_transform(lines0, x -> x || '.')
+               WHEN doc_id % 7 = 1
+                 THEN list_append(list_transform(lines0, x -> x || '.'),
+                                  'please enable javascript to view comments.')
+               WHEN doc_id % 7 = 2
+                 THEN list_append(lines0, 'lorem ipsum dolor sit amet.')
+               WHEN doc_id % 7 = 3
+                 THEN list_append(list_transform(lines0, x -> x || '.'),
+                                  'config {{ display mode }} end.')
+               ELSE lines0
+             END AS lines
+      FROM l0
+    ),
+    flags AS (
+      SELECT
+        (len(toks) BETWEEN 50 AND 100000) AS g,
+        len(list_filter(lines, x ->
+              (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?'))
+              AND len(string_split(x, ' ')) >= 5
+              AND NOT contains(lower(x), 'javascript'))) >= 3
+          AND NOT contains(lower(array_to_string(lines, ' ')), 'lorem ipsum')
+          AND NOT contains(array_to_string(lines, ' '), '{{') AS c,
+        NOT (h = 'src3.example.com' OR h = 'gambling-portal.example.net'
+             OR ends_with(h, '.ads-hub.example.com')
+             OR ends_with(h, '.tracker.example.org')) AS u
+      FROM (SELECT *,
+              CASE WHEN doc_id % 11 = 0 THEN 'media.ads-hub.example.com'
+                   WHEN doc_id % 10 < 4 THEN 'hot.example.com'
+                   ELSE source || '.example.com' END AS h
+            FROM l)
+    ),
+    a AS (
+      SELECT count(*) AS n0,
+             coalesce(sum(CASE WHEN NOT g THEN 1 END), 0) AS d1,
+             coalesce(sum(CASE WHEN g AND NOT c THEN 1 END), 0) AS d2,
+             coalesce(sum(CASE WHEN g AND c AND NOT u THEN 1 END), 0) AS d3
+      FROM flags
+    )
+    {stage.format(no=1, name="gopher_word_count", nin="n0", d="d1")}
+    UNION ALL {stage.format(no=2, name="c4_rules", nin="n0 - d1", d="d2")}
+    UNION ALL {stage.format(no=3, name="url_blocklist", nin="n0 - d1 - d2", d="d3")}
+    """
+
+
+@_q("filter_funnel_report", _funnel_sql())
+def filter_funnel_report(spark, sf_dir):
+    """Filter attrition funnel — the audit a curation team runs BEFORE
+    committing a filter stack to a 10^12-doc corpus: apply the quality
+    gates in pipeline order (Gopher word rules → C4 line rules → URL
+    blocklist) and report, per stage, how many documents enter, how many
+    that stage alone drops, how many survive, and the stage drop rate.
+    Rule expressions are THE SAME shared builders the standalone queries
+    use (`quality.gopher_signals`'s rules dict, `_c4_rule_exprs`, the
+    `_URL_BLOCKLIST` patterns), so the funnel provably audits the filters
+    that actually run — not a re-implementation that can drift.  The
+    Gopher stage is the word-count rule alone: the synthetic corpus
+    contains no English stopwords, so the FULL bundle's required-stopword
+    rule drops 100% of documents and every downstream stage would read 0
+    (gopher_quality_filter shows the per-rule breakdown); the funnel
+    mechanics are identical with the full `keep` — swap the rule column.
+
+    Scale shape: all three verdicts are narrow map-side expressions
+    computed in ONE corpus scan, and the funnel is ONE conditional count
+    aggregate whose output is 4 integers regardless of corpus size
+    (map-side combine; the only Exchange is the SinglePartition of those
+    4 values — plan-gated `filter_funnel_one_bounded_agg`); the 3 stage
+    rows explode from that 1-row frame.  The 4-row blocklist is folded
+    into a map-side predicate here (exactly what the broadcast anti-join
+    of `url_blocklist_filter` compiles to at this rule count); the 4M-row
+    production blocklist keeps the join form."""
+    docs = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    _, gopher_rules, _ = _gopher_signals("text")
+    g = gopher_rules["pass_word_count"]
+    *_, c = _c4_rule_exprs()
+    host = (
+        F.when(F.col("doc_id") % 11 == 0, F.lit("media.ads-hub.example.com"))
+        .when(F.col("doc_id") % 10 < 4, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.col("source"), F.lit(".example.com")))
+    )
+    blocked = F.lit(False)
+    for kind, pattern in _URL_BLOCKLIST:
+        hit = host == pattern if kind == "exact" else host.endswith(pattern)
+        blocked = blocked | hit
+    u = ~blocked
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((~g).cast("long")).alias("d1"),
+        F.sum((g & ~c).cast("long")).alias("d2"),
+        F.sum((g & c & ~u).cast("long")).alias("d3"),
+    )
+    stages = [
+        (1, "gopher_word_count", F.col("n0"), F.col("d1")),
+        (2, "c4_rules", F.col("n0") - F.col("d1"), F.col("d2")),
+        (3, "url_blocklist", F.col("n0") - F.col("d1") - F.col("d2"), F.col("d3")),
+    ]
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(no).cast("int").alias("stage_no"),
+                    F.lit(name).alias("stage"),
+                    n_in.cast("long").alias("n_in"),
+                    d.cast("long").alias("n_dropped"),
+                )
+                for no, name, n_in, d in stages
+            ]
+        )
+    ).alias("s")
+    return agg.select(rows).select(
+        F.col("s.stage_no").alias("stage_no"),
+        F.col("s.stage").alias("stage"),
+        F.col("s.n_in").alias("n_in"),
+        F.col("s.n_dropped").alias("n_dropped"),
+        (F.col("s.n_in") - F.col("s.n_dropped")).alias("n_out"),
+        F.when(
+            F.col("s.n_in") > 0,
+            F.col("s.n_dropped").cast("double") / F.col("s.n_in"),
+        ).alias("drop_rate"),
     )
 
 

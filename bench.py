@@ -264,6 +264,7 @@ def main():
         "doc_chunks",
         "ann_recall_report",
         "anchor_text_profile",
+        "filter_funnel_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -490,3 +490,38 @@ def test_anchor_text_profile_replay(spark):
     # hot-domain skew case the docstring's scale argument is about
     hot = [t for t in inlinks if t.endswith("hot.example.com/home")]
     assert hot and inlinks[hot[0]] > 1
+
+
+# ------------------------------------------------------ filter funnel
+def test_filter_funnel_is_rollup_of_standalone_filters(spark):
+    """The funnel must be the exact cumulative composition of the three
+    standalone rule queries: stage 1 = gopher word-count rule, stage 2 =
+    C4 keep among stage-1 survivors, stage 3 = URL blocklist among
+    stage-2 survivors — same shared rule expressions, counted."""
+    g = {
+        r.doc_id: bool(r.pass_word_count)
+        for r in entry.gopher_quality_filter(spark, SF_DIR).collect()
+    }
+    c = {
+        r.doc_id: bool(r.keep)
+        for r in entry.c4_quality_filter(spark, SF_DIR).collect()
+    }
+    u_survivors = {
+        r.doc_id for r in entry.url_blocklist_filter(spark, SF_DIR).collect()
+    }
+    n0 = len(g)
+    s1 = {d for d, ok in g.items() if ok}
+    s2 = {d for d in s1 if c[d]}
+    s3 = {d for d in s2 if d in u_survivors}
+    rows = {r.stage_no: r for r in entry.filter_funnel_report(spark, SF_DIR).collect()}
+    assert rows[1].stage == "gopher_word_count"
+    assert (rows[1].n_in, rows[1].n_out) == (n0, len(s1))
+    assert (rows[2].n_in, rows[2].n_out) == (len(s1), len(s2))
+    assert (rows[3].n_in, rows[3].n_out) == (len(s2), len(s3))
+    for r in rows.values():
+        assert r.n_dropped == r.n_in - r.n_out
+        if r.n_in:
+            assert r.drop_rate == r.n_dropped / r.n_in
+        # every stage does real work on this corpus — the funnel is
+        # informative, not degenerate
+        assert 0 < r.n_out <= r.n_in

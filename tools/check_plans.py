@@ -583,6 +583,24 @@ def main():
         exact_exchanges=0,
     )
 
+    # filter_funnel_report: all three rule verdicts are map-side
+    # expressions in ONE corpus scan feeding ONE conditional count
+    # aggregate — the only Exchange is the SinglePartition of its 4
+    # integers; no join anywhere (the 4-row blocklist folds into the
+    # predicate), no Python
+    check(
+        "filter_funnel_one_bounded_agg",
+        allq["filter_funnel_report"](spark, SF_DIR),
+        must=[r"HashAggregate", r"SinglePartition"],
+        must_not=[
+            r"hashpartitioning",
+            r"Join",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+        ],
+        exact_exchanges=1,
+    )
+
     # anchor_text_profile: the Python outlink extraction must NOT appear
     # in the query plan — it runs ONCE into the localCheckpoint barrier
     # (pruning-below-exchange would otherwise re-run it per grain), and
