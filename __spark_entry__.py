@@ -7445,6 +7445,276 @@ def events_hourly(spark, sf_dir):
     )
 
 
+#: 2^52 — 13 hex chars of md5, exact as a double (shared hash domain)
+_SPL_DOM = float(1 << 52)
+#: cumulative split cutoffs on the content-hash fraction
+_SPL_TRAIN = 0.8
+_SPL_VALID = 0.9
+#: shared CASE/when expression text for the DuckDB oracles
+_SPL_SQL_U = (
+    f"(CAST({{h}} AS DOUBLE) / {_SPL_DOM!r})"
+)
+
+
+def _spl_sql_case(fp_expr):
+    u = _SPL_SQL_U.format(h=_sql_hex_bigint(fp_expr, 13))
+    return (
+        f"CASE WHEN {u} < {_SPL_TRAIN!r} THEN 'train' "
+        f"WHEN {u} < {_SPL_VALID!r} THEN 'valid' ELSE 'test' END"
+    )
+
+
+def _spl_spark_split(fp_col):
+    """train/valid/test from the 52-bit md5 fraction of a fingerprint col."""
+    u = F.conv(F.substring(fp_col, 1, 13), 16, 10).cast("long") / F.lit(_SPL_DOM)
+    return (
+        F.when(u < _SPL_TRAIN, F.lit("train"))
+        .when(u < _SPL_VALID, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
+@_q(
+    "split_assign",
+    f"""
+    WITH f AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+    )
+    SELECT doc_id, fingerprint, {_spl_sql_case("fingerprint")} AS split
+    FROM f
+    """,
+)
+def split_assign(spark, sf_dir):
+    """Deterministic group-aware train/valid/test split (80/10/10): the
+    split key is the NORMALIZED-CONTENT fingerprint, not the doc_id, so
+    every exact duplicate of a text lands in the same split by
+    construction — the standard leakage guard when a corpus is deduped
+    AFTER splitting, or never fully deduped (Lee et al. 2022 measured
+    >1% train/test overlap in C4/RealNews from ignoring this).  The
+    assignment is a pure function of the bytes (md5 -> 52-bit fraction vs
+    cumulative cutoffs): reproducible across engines, runs, retries and
+    corpus growth — a re-crawled copy of a page joins its twin's split.
+
+    Plan at scale: one map-only projection — zero exchanges, zero joins,
+    no Python; at 10^12 documents this is exactly one pass that
+    co-schedules with whatever scan precedes it.  Near-duplicates (not
+    byte-equal after lower/trim) can still straddle splits; that residue
+    is what `split_leakage_audit` measures."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+    return d.select(
+        "doc_id",
+        "fingerprint",
+        _spl_spark_split(F.col("fingerprint")).alias("split"),
+    )
+
+
+#: stop-fingerprint guard for the leakage join — same absolute-df policy
+#: as textops.fingerprint_edges' _DC_MAX_DF: a winnow fingerprint shared
+#: by more than this many documents is boilerplate, not leakage evidence
+_SLA_MAX_DF = 64
+
+
+@_q(
+    "split_leakage_audit",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks,
+             {_spl_sql_case("md5(lower(trim(text)))")} AS split
+      FROM documents
+    ),
+    eligible AS (SELECT * FROM d WHERE len(toks) >= 8),
+    grams AS (
+      SELECT doc_id, split,
+             list_transform(generate_series(1, len(toks) - 4),
+                            i -> md5(array_to_string(toks[i:i+4], ' '))) AS g
+      FROM eligible
+    ),
+    fpl AS (
+      SELECT doc_id, split,
+             list_transform(generate_series(1, len(g) - 3),
+                            j -> list_min(g[j:j+3])) AS f
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, split, unnest(f) AS fp FROM fpl),
+    guarded AS (
+      SELECT * FROM (
+        SELECT doc_id, split, fp,
+               count(*) OVER (PARTITION BY fp) AS df
+        FROM fps
+      ) WHERE df <= {_SLA_MAX_DF}
+    ),
+    train_pairs AS (
+      SELECT fp, doc_id AS train_doc FROM guarded WHERE split = 'train'
+    ),
+    eval_pairs AS (
+      SELECT doc_id, split, fp FROM guarded WHERE split != 'train'
+    ),
+    audited AS (
+      SELECT e.doc_id,
+             max(e.split) AS split,
+             count(DISTINCT e.fp) AS n_fps,
+             count(DISTINCT CASE WHEN t.train_doc IS NOT NULL
+                                 THEN e.fp END) AS n_shared_fps,
+             count(DISTINCT t.train_doc) AS n_train_docs
+      FROM eval_pairs e LEFT JOIN train_pairs t USING (fp)
+      GROUP BY e.doc_id
+    )
+    SELECT doc_id, split,
+           CAST(n_fps AS BIGINT) AS n_fps,
+           CAST(n_shared_fps AS BIGINT) AS n_shared_fps,
+           CAST(n_train_docs AS BIGINT) AS n_train_docs,
+           round(CAST(n_shared_fps AS DOUBLE) / n_fps, 4) AS leak_share
+    FROM audited WHERE n_shared_fps >= 1
+    """,
+)
+def split_leakage_audit(spark, sf_dir):
+    """Cross-split contamination audit — the measurement half of
+    `split_assign`: for every valid/test document, how much of its
+    winnowed fingerprint set (k=5, w=4 — any shared run of >= 8 tokens is
+    guaranteed to share a fingerprint) also appears in SOME train
+    document.  Exact duplicates cannot leak (the split key is the content
+    hash), so every row here is near-duplicate / partial-overlap leakage
+    — the quantity Lee et al. 2022 showed survives naive splitting.
+    Delta-only output: documents with zero shared fingerprints don't emit
+    a row (crawl_diff_report's convention).
+
+    Plan at scale: ONE fingerprint pass — the gram/winnow select is
+    map-side, the df-guard is a window over the fp key, and BOTH sides
+    of the eval-vs-train join are filters of that same windowed frame
+    (the fp exchange prints once and is REUSED, verified by plan gate);
+    the left join preserves unmatched eval fingerprints so totals,
+    shared counts and train-doc counts all come out of ONE per-doc
+    aggregate — no second corpus scan, no join back.  The df-guard is
+    the load-bearing scale bound: dropping fingerprints with df >
+    {_SLA_MAX_DF} (the fingerprint_edges policy) caps the join fan-out
+    per fingerprint, so no boilerplate fingerprint can quadratically
+    explode the join at 10^12 documents.  Output is bounded by the
+    leaking-doc count."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    d = docs.select(
+        "doc_id", _spl_spark_split(fp).alias("split"), "text"
+    )
+    fps = textops.winnow_fingerprints(d, k=5, w=4, extra_cols=("split",))
+    # Both join sides are filters of this frame, but column pruning
+    # pushes a different projection below the shared exchange per side,
+    # defeating exchange reuse — without a barrier the md5 gram pass
+    # (the dominant map cost) would run TWICE over the corpus.
+    # localCheckpoint is that barrier (the anchor_text_profile device):
+    # the fingerprint pass runs once, both sides read the materialized
+    # guarded table.
+    guarded = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= _SLA_MAX_DF)
+        .localCheckpoint(eager=False)
+    )
+    train_pairs = guarded.filter(F.col("split") == "train").select(
+        "fp", F.col("doc_id").alias("train_doc")
+    )
+    eval_pairs = guarded.filter(F.col("split") != "train").select(
+        "doc_id", "split", "fp"
+    )
+    audited = (
+        eval_pairs.join(train_pairs, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("split").alias("split"),
+            F.countDistinct("fp").alias("n_fps"),
+            F.countDistinct(
+                F.when(F.col("train_doc").isNotNull(), F.col("fp"))
+            ).alias("n_shared_fps"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    return audited.filter(F.col("n_shared_fps") >= 1).select(
+        "doc_id",
+        "split",
+        F.col("n_fps").cast("long").alias("n_fps"),
+        F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
+        F.col("n_train_docs").cast("long").alias("n_train_docs"),
+        F.round(
+            F.col("n_shared_fps").cast("double") / F.col("n_fps"), 4
+        ).alias("leak_share"),
+    )
+
+
+#: token budget as a multiple of the corpus (2x forces some epochs > 1)
+_MIX_BUDGET_X = 2.0
+#: repeat-data ceiling: >4 epochs is where repeated tokens stop helping
+#: (Muennighoff et al. 2023, "Scaling Data-Constrained Language Models")
+_MIX_EPOCH_CAP = 4.0
+
+
+@_q(
+    "mixture_plan_report",
+    f"""
+    WITH c AS (
+      SELECT source,
+             1 + CAST(substr(source, 4) AS INT) % 4 AS w,
+             sum(len(string_split(trim(text), ' '))) AS n_tokens
+      FROM documents
+      WHERE trim(text) != ''
+      GROUP BY 1
+    ),
+    s AS (SELECT sum(w) AS sumw, sum(n_tokens) AS total FROM c)
+    SELECT source,
+           CAST(w AS BIGINT) AS weight,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(w AS DOUBLE) / sumw, 6) AS target_share,
+           CAST(round(CAST(w AS DOUBLE) / sumw * {_MIX_BUDGET_X!r} * total)
+                AS BIGINT) AS tokens_requested,
+           round(CAST(w AS DOUBLE) / sumw * {_MIX_BUDGET_X!r} * total
+                 / n_tokens, 4) AS epochs,
+           CAST(CAST(w AS DOUBLE) / sumw * {_MIX_BUDGET_X!r} * total
+                / n_tokens > {_MIX_EPOCH_CAP!r} AS INT) AS over_epoch_cap
+    FROM c, s
+    """,
+)
+def mixture_plan_report(spark, sf_dir):
+    """Data-mixture budget planner — the recipe table a training run is
+    configured from: given per-source token inventories and target mix
+    weights (here a deterministic function of the source name standing in
+    for the config constants a real run supplies), compute each source's
+    target share, requested token count at a fixed total budget
+    (_MIX_BUDGET_X=2x the corpus), implied epoch count
+    (requested/available — > 1 means the source repeats), and flag
+    sources pushed past the _MIX_EPOCH_CAP=4-epoch repeat-data ceiling
+    of Muennighoff et al. 2023.  Complements `temperature_mix_sample`
+    (which derives rates from counts^alpha and SAMPLES) by planning
+    against explicit target weights and REPORTING.
+
+    Plan at scale: one bounded groupBy (one row per source), a 1-row
+    totals aggregate broadcast back — the corpus is scanned exactly
+    once; output is source-cardinality."""
+    d = _docs(spark, sf_dir).filter(F.trim(F.col("text")) != "")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim(F.col("text")), " "))).alias("n_tokens")
+    ).select(
+        "source",
+        (1 + F.substring(F.col("source"), 4, 10).cast("int") % 4).alias("w"),
+        "n_tokens",
+    )
+    s = c.agg(F.sum("w").alias("sumw"), F.sum("n_tokens").alias("total"))
+    share = F.col("w").cast("double") / F.col("sumw")
+    requested = share * _MIX_BUDGET_X * F.col("total")
+    epochs = share * _MIX_BUDGET_X * F.col("total") / F.col("n_tokens")
+    return c.crossJoin(F.broadcast(s)).select(
+        "source",
+        F.col("w").cast("long").alias("weight"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("target_share"),
+        F.round(requested, 0).cast("long").alias("tokens_requested"),
+        F.round(epochs, 4).alias("epochs"),
+        (epochs > _MIX_EPOCH_CAP).cast("int").alias("over_epoch_cap"),
+    )
+
+
 # ----------------------------------------------------------------- contract
 
 

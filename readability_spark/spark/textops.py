@@ -582,7 +582,7 @@ def codebook_from_training(trained: DataFrame):
 
 
 def winnow_fingerprints(
-    docs: DataFrame, k=5, w=4, id_col="doc_id", text_col="text"
+    docs: DataFrame, k=5, w=4, id_col="doc_id", text_col="text", extra_cols=()
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     algorithm): hash every k-token shingle with a sliding (rolling) window,
@@ -594,7 +594,9 @@ def winnow_fingerprints(
     (transform/sequence/slice/array_min): no explode until the final
     fingerprint set, no shuffle before the output — at 100 TB this is a
     map-only stage.  md5 shingle hashes keep it portable to the DuckDB
-    oracle.  Returns (id, fp) distinct pairs."""
+    oracle.  Returns (id, *extra_cols, fp) distinct rows — ``extra_cols``
+    names per-document columns to carry through unchanged (e.g. a split
+    label), saving callers a corpus-sized join back onto the id."""
     toks = F.split(F.trim(F.col(text_col)), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -605,7 +607,7 @@ def winnow_fingerprints(
     # inlining `grams` into the second transform would recompute the whole
     # md5 array once per window position (O(n^2) hashes per document)
     with_grams = docs.filter(F.size(toks) >= k + w - 1).select(
-        id_col, grams.alias("_grams")
+        id_col, *extra_cols, grams.alias("_grams")
     )
     g = F.col("_grams")
     fps = F.array_distinct(
@@ -614,7 +616,9 @@ def winnow_fingerprints(
             lambda j: F.array_min(F.slice(g, j, w)),
         )
     )
-    return with_grams.select(id_col, F.explode(fps).alias("fp")).distinct()
+    return with_grams.select(
+        id_col, *extra_cols, F.explode(fps).alias("fp")
+    ).distinct()
 
 
 def hyperplane_lsh_buckets(

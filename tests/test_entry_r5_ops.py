@@ -525,3 +525,132 @@ def test_filter_funnel_is_rollup_of_standalone_filters(spark):
         # every stage does real work on this corpus — the funnel is
         # informative, not degenerate
         assert 0 < r.n_out <= r.n_in
+
+
+def _py_split(text: str) -> tuple:
+    """Pure-Python replay of the split_assign hash: md5 of the
+    normalized text -> 52-bit fraction -> cumulative 80/10/10 cutoffs."""
+    import hashlib
+
+    fp = hashlib.md5(text.strip().lower().encode()).hexdigest()
+    u = int(fp[:13], 16) / float(1 << 52)
+    split = "train" if u < 0.8 else ("valid" if u < 0.9 else "test")
+    return fp, split
+
+
+class TestSplitAssign:
+    def test_pure_function_of_content(self, spark):
+        """Every row's (fingerprint, split) must equal the engine-
+        independent Python replay — the assignment is a pure function
+        of the normalized bytes, nothing positional or random."""
+        rows = entry.split_assign(spark, SF_DIR).collect()
+        assert rows
+        texts = {
+            r.doc_id: r.text for r in entry._docs(spark, SF_DIR).collect()
+        }
+        for r in rows:
+            fp, split = _py_split(texts[r.doc_id])
+            assert (r.fingerprint, r.split) == (fp, split), r.doc_id
+
+    def test_duplicates_never_straddle_splits(self, spark):
+        """The leakage guard itself: byte-equal (normalized) texts share
+        a fingerprint, and every fingerprint maps to exactly ONE split."""
+        rows = entry.split_assign(spark, SF_DIR).collect()
+        by_fp: dict = {}
+        for r in rows:
+            by_fp.setdefault(r.fingerprint, set()).add(r.split)
+        assert all(len(s) == 1 for s in by_fp.values())
+        # sf0.001 has no exact dups, so exercise the guard synthetically:
+        # same bytes modulo case/whitespace -> same fingerprint and split
+        dup = spark.createDataFrame(
+            [("a", "Hello World "), ("b", "hello world"), ("c", "other")],
+            "doc_id string, text string",
+        )
+        fp = F.md5(F.lower(F.trim(F.col("text"))))
+        out = dup.select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            entry._spl_spark_split(fp).alias("split"),
+        ).collect()
+        m = {r.doc_id: (r.fingerprint, r.split) for r in out}
+        assert m["a"] == m["b"] and m["a"] != m["c"]
+
+    def test_shares_near_cutoffs(self, spark):
+        """80/10/10 within loose tolerance at n=500 (binomial noise)."""
+        from collections import Counter
+
+        rows = entry.split_assign(spark, SF_DIR).collect()
+        c = Counter(r.split for r in rows)
+        n = len(rows)
+        assert 0.7 < c["train"] / n < 0.9
+        assert 0 < c["valid"] / n < 0.2
+        assert 0 < c["test"] / n < 0.2
+
+
+class TestSplitLeakageAudit:
+    def test_reported_docs_are_eval_side_and_bounded(self, spark):
+        rows = entry.split_leakage_audit(spark, SF_DIR).collect()
+        for r in rows:
+            assert r.split in ("valid", "test")
+            assert 1 <= r.n_shared_fps <= r.n_fps
+            assert r.n_train_docs >= 1
+            assert 0 < r.leak_share <= 1
+
+    def test_leaks_are_real_shared_fingerprints(self, spark):
+        """Recompose the evidence independently: every reported eval doc
+        must share at least one df-guarded winnowed fingerprint with a
+        train-split doc, and every eval doc that does share one must be
+        reported (delta-only output, no false negatives)."""
+        from readability_spark.spark import textops
+
+        d = entry._docs(spark, SF_DIR).collect()
+        splits = {doc.doc_id: _py_split(doc.text)[1] for doc in d}
+        fps = textops.winnow_fingerprints(
+            entry._docs(spark, SF_DIR), k=5, w=4
+        ).collect()
+        by_fp: dict = {}
+        for r in fps:
+            by_fp.setdefault(r.fp, set()).add(r.doc_id)
+        expected = {}
+        for fp, docs in by_fp.items():
+            if len(docs) > entry._SLA_MAX_DF:  # df guard
+                continue
+            train = {i for i in docs if splits[i] == "train"}
+            if not train:
+                continue
+            for i in docs - train:
+                expected.setdefault(i, set()).add(fp)
+        got = {
+            r.doc_id: r.n_shared_fps
+            for r in entry.split_leakage_audit(spark, SF_DIR).collect()
+        }
+        assert got.keys() == expected.keys()
+        for i, fpset in expected.items():
+            assert got[i] == len(fpset)
+
+
+def test_mixture_plan_replay(spark):
+    """Replay the planner in Python from per-source token counts: shares
+    sum to 1, requested tokens sum to ~budget, epochs and the cap flag
+    are consistent per row."""
+    counts: dict = {}
+    for r in entry._docs(spark, SF_DIR).collect():
+        if r.text and r.text.strip():
+            counts[r.source] = counts.get(r.source, 0) + len(
+                r.text.strip().split(" ")
+            )
+    weights = {s: 1 + int(s[3:]) % 4 for s in counts}
+    sumw, total = sum(weights.values()), sum(counts.values())
+    rows = entry.mixture_plan_report(spark, SF_DIR).collect()
+    assert {r.source for r in rows} == set(counts)
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-3
+    budget = entry._MIX_BUDGET_X * total
+    assert abs(sum(r.tokens_requested for r in rows) - budget) <= len(rows)
+    for r in rows:
+        share = weights[r.source] / sumw
+        assert r.weight == weights[r.source]
+        assert r.n_tokens == counts[r.source]
+        assert abs(r.target_share - share) < 1e-5
+        exp_epochs = share * entry._MIX_BUDGET_X * total / counts[r.source]
+        assert abs(r.epochs - exp_epochs) < 1e-3
+        assert r.over_epoch_cap == int(exp_epochs > entry._MIX_EPOCH_CAP)

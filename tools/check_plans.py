@@ -971,6 +971,61 @@ def main():
         materialize=True,
     )
 
+    # split_assign: a split decision must cost NOTHING beyond the scan —
+    # pure map-side projection, zero exchanges, zero joins, no Python
+    check(
+        "split_assign_map_only",
+        allq["split_assign"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[
+            r"Join",
+            r"HashAggregate",
+            r"Window",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"Sort\b",
+        ],
+        exact_exchanges=0,
+    )
+
+    # split_leakage_audit: the md5 gram/winnow pass (the dominant map
+    # cost) runs ONCE into the localCheckpoint barrier — both join sides
+    # read the materialized guarded table (ExistingRDD); downstream is
+    # one fp equi-join plus ONE per-doc aggregate (the left join lets
+    # totals, shared counts and train-doc counts share it) — nothing
+    # cartesian, no second corpus scan, no Python
+    check(
+        "split_leakage_single_fingerprint_pass",
+        allq["split_leakage_audit"](spark, SF_DIR),
+        must=[r"ExistingRDD", r"HashAggregate|SortAggregate"],
+        must_not=[
+            r"Scan parquet",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+        ],
+        max_exchanges=3,
+        materialize=True,
+    )
+
+    # mixture_plan_report: the corpus reaches exactly ONE bounded
+    # (source-cardinality) aggregate; the 1-row totals frame rides back
+    # as a broadcast (BroadcastNestedLoopJoin is the intended 1-row
+    # cross shape); nothing cartesian, no Python, no keyed corpus shuffle
+    check(
+        "mixture_plan_one_bounded_agg",
+        allq["mixture_plan_report"](spark, SF_DIR),
+        must=[r"HashAggregate", r"BroadcastNestedLoopJoin"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"SortMergeJoin",
+        ],
+        max_exchanges=3,
+        materialize=True,
+    )
+
     # --- source-level broadcast-hint audit ------------------------------
     # Every F.broadcast() in the engine must sit on a frame whose size is
     # BOUNDED BY CONSTRUCTION (a fixed suite, a 1-row aggregate, a capped
@@ -1018,6 +1073,11 @@ def main():
             ("F.broadcast(hot)", "stop-token set — bounded by 1/df_cap tokens"),
             ("F.broadcast(best", "single-row argmax pair (LIMIT 1) per training round"),
             ("F.broadcast(c)", "explicit dim-broadcast demo (join_customer_orders)"),
+            (
+                "F.broadcast(s)",
+                "mixture_plan_report totals — a global aggregate's single "
+                "output row (2 values) regardless of corpus size",
+            ),
         ],
     }
     audit_files = [
