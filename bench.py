@@ -265,6 +265,9 @@ def main():
         "ann_recall_report",
         "anchor_text_profile",
         "filter_funnel_report",
+        "split_assign",
+        "split_leakage_audit",
+        "mixture_plan_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)
