@@ -7715,6 +7715,373 @@ def mixture_plan_report(spark, sf_dir):
     )
 
 
+
+#: image aHash demo geometry: images (doc_id % 3 == 0, the attach_payloads
+#: media-type convention) cluster into groups of near-identical thumbnails
+#: via doc_id % _AHS_GROUPS; variant v = doc_id // _AHS_GROUPS perturbs a
+#: few pixels (v % 4 == 0 members are byte-identical)
+_AHS_GROUPS = 30
+_AHS_BLOCKS = 8
+_AHS_MAX_HAMMING = 6
+
+_AHS_PX_SQL = _sql_hex_bigint(
+    "md5('img:' || CAST(grp AS VARCHAR) || ':' || CAST(i AS VARCHAR))", 2
+)
+
+
+def _ahash_fingerprints(docs):
+    """(doc_id, fp): 64-bit average-hash fingerprints from a deterministic
+    fake thumbnail decode — pixel i is md5-derived from the image's dedup
+    GROUP (so group members share a base image) plus a variant-dependent
+    bump on a few pixels (so non-canonical variants are NEAR-identical,
+    not identical).  The mean is an exact binary value (integer sum / 64)
+    so the per-bit comparisons are engine-exact.  The two chained selects
+    keep the pixel array from being recomputed per consumer."""
+    grp = (F.col("doc_id") % _AHS_GROUPS).cast("long")
+    v = F.floor(F.col("doc_id") / _AHS_GROUPS).cast("long")
+
+    def px(i):
+        h = F.md5(
+            F.concat(
+                F.lit("img:"), grp.cast("string"), F.lit(":"), i.cast("string")
+            )
+        )
+        base = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+        bump = (
+            F.when(v % 4 == 0, F.lit(0))
+            .when((i + v) % 7 == 0, ((v % 4) * 37).cast("int"))
+            .otherwise(F.lit(0))
+        )
+        return (base + bump) % 256
+
+    pixels = F.transform(F.sequence(F.lit(0), F.lit(63)), px)
+    withpx = docs.select("doc_id", pixels.alias("px"))
+    mean = F.aggregate(
+        F.col("px"), F.lit(0).cast("long"), lambda a, x: a + x
+    ) / F.lit(64.0)
+    withmean = withpx.select("doc_id", "px", mean.alias("mean"))
+    fp = F.array_join(
+        F.transform(
+            F.col("px"),
+            lambda p: F.when(p > F.col("mean"), F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    return withmean.select("doc_id", fp.alias("fp"))
+
+
+@_q(
+    "image_ahash_neardup",
+    f"""
+    WITH img AS (
+      SELECT doc_id, doc_id % 30 AS grp, doc_id // 30 AS v
+      FROM documents WHERE doc_id % 3 = 0 AND doc_id < 300
+    ),
+    px AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 63), i ->
+               (({_AHS_PX_SQL}) + (CASE WHEN v % 4 = 0 THEN 0
+                                       WHEN (i + v) % 7 = 0 THEN (v % 4) * 37
+                                       ELSE 0 END)) % 256) AS p
+      FROM img
+    ),
+    fp AS (
+      SELECT doc_id, array_to_string(
+               list_transform(p, x -> CASE WHEN x > list_sum(p) / 64.0
+                                           THEN '1' ELSE '0' END), '') AS f
+      FROM px
+    ),
+    blocks AS (SELECT doc_id, b, substr(f, CAST(b * 8 + 1 AS INT), 8) AS bv
+               FROM fp, range(8) r(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+      FROM blocks a JOIN blocks c
+        ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    ),
+    ham AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(generate_series(1, 64),
+                 i -> substr(x.f, CAST(i AS INT), 1)
+                      != substr(y.f, CAST(i AS INT), 1))) AS hamming
+      FROM cand JOIN fp x ON x.doc_id = doc_a JOIN fp y ON y.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+    FROM ham WHERE hamming <= {_AHS_MAX_HAMMING}
+    """,
+)
+def image_ahash_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate IMAGE pairs — the multimodal member
+    of the dedup family (exact / MinHash / SimHash cover text; re-crawled
+    logos, resized thumbnails and re-encoded images need a pixel-space
+    hash): decode each image payload to an 8x8 grayscale thumbnail,
+    average-hash it (bit = pixel > mean, the classic aHash), and find
+    pairs within Hamming distance {_AHS_MAX_HAMMING} via
+    textops.hamming_block_pairs — the SAME Manku block-permutation
+    machinery the text SimHash tier uses ({_AHS_BLOCKS} blocks of 8 bits:
+    pigeonhole recall is EXACT up to Hamming {_AHS_BLOCKS}-1).
+
+    The thumbnail decode here is the deterministic stub tier of the
+    multimodal seam (no PIL in this container — spark/multimodal.py's
+    decode_auto pattern): pixels are md5-derived closed-form so the
+    DuckDB oracle replays them, while the hash/banding/verify plumbing is
+    the production path.  Images sharing a dedup group differ only by a
+    deterministic few-pixel perturbation, giving the demo real near-dups
+    (variant % 4 == 0 members are byte-identical, Hamming 0).
+
+    Plan at scale: the decode+hash is ONE narrow map pass (64 md5s/image,
+    no Python); candidates come from one equi-join on (block, value) —
+    nothing all-pairs; the verify lookup is semi-joined to the collision
+    set and UNHINTED.  Demo bounded to doc_id < 300 like the other
+    pairwise demos."""
+    imgs = _docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") < 300)
+    )
+    fps = _ahash_fingerprints(imgs)
+    return textops.hamming_block_pairs(
+        fps, bits=64, block_count=_AHS_BLOCKS,
+        max_hamming=_AHS_MAX_HAMMING, fp_col="fp",
+    )
+
+
+#: product-quantization geometry: 64-dim embeddings split into M=8
+#: subvectors of 8 dims, each quantized against K=16 codewords (the
+#: embeddings of vec_id < 16 stand in for per-subspace k-means output,
+#: the ivf demo's convention) -> 8 bytes/vector instead of 256
+_PQ_M = 8
+_PQ_DSUB = 8
+_PQ_TRAIN_K = 16
+
+#: shared oracle CTE chain: double-cast vectors, positional sub-codebooks,
+#: per-(vector, subspace) squared distances, argmin codes
+_PQ_CTES = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                  CAST(embedding AS DOUBLE[]) AS cv
+           FROM embeddings WHERE vec_id < 16),
+    d AS (
+      SELECT e.vec_id, m.m, cb.code,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (ve[m.m * 8 + j] - cv[m.m * 8 + j])
+                    * (ve[m.m * 8 + j] - cv[m.m * 8 + j]))) AS dist
+      FROM e, range(8) m(m), cb
+    ),
+    best AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+        FROM d) WHERE rn = 1
+    )
+"""
+
+
+def _pq_codebooks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return textops.pq_codebooks_from_vectors(
+        emb.filter(F.col("vec_id") < _PQ_TRAIN_K), _PQ_M, _PQ_DSUB
+    )
+
+
+@_q(
+    "pq_codes",
+    f"""
+    WITH {_PQ_CTES}
+    SELECT vec_id,
+           list(code ORDER BY m) AS codes,
+           round(list_sum(list(dist ORDER BY m)), 4) AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+)
+def pq_codes(spark, sf_dir):
+    """Product-quantization ENCODE (Jegou/Douze/Schmid, TPAMI 2011) — the
+    memory-compression half of a FAISS-style IVF-PQ index, completing the
+    ANN story next to ivf_train/ann_ivf_topk: each 64-dim vector becomes
+    M={_PQ_M} one-byte codes (argmin codeword per 8-dim subspace) plus its
+    summed quantization error — a 32x shrink that is the difference
+    between 10^12 vectors fitting in cluster memory or not.  Codebooks
+    here are the bounded vec_id < {_PQ_TRAIN_K} slice standing in for
+    per-subspace k-means output (`ivf_train` shows the training shape).
+
+    Plan at scale: codebooks are K*dsub*M floats REGARDLESS of corpus
+    size, collected once (the collect_codebook bounded-by-construction
+    contract) and inlined as literals, so encoding is a pure narrow
+    projection — zero exchanges, zero joins, no Python (plan-gated
+    pq_codes_map_only).  All arithmetic forced to double on both engines;
+    the fold orders of every distance sum match the oracle's list_sum
+    element order, so values are bit-identical, not merely close."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = textops.pq_encode(emb, _pq_codebooks(spark, sf_dir), _PQ_DSUB)
+    return enc.select(
+        "vec_id", "codes", F.round("recon_err", 4).alias("recon_err")
+    )
+
+
+@_q(
+    "ann_pq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    t AS (
+      SELECT m.m, cb.code,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (qv[m.m * 8 + j] - cv[m.m * 8 + j])
+                    * (qv[m.m * 8 + j] - cv[m.m * 8 + j]))) AS qd
+      FROM q, range(8) m(m), cb
+    ),
+    adc AS (
+      SELECT b.vec_id, round(list_sum(list(t.qd ORDER BY b.m)), 4) AS adc_dist
+      FROM best b JOIN t ON t.m = b.m AND t.code = b.code
+      WHERE b.vec_id != 0
+      GROUP BY b.vec_id
+    ),
+    short AS (
+      SELECT vec_id, adc_dist FROM (
+        SELECT *, row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        FROM adc) WHERE rn <= 50
+    ),
+    rer AS (
+      SELECT s.vec_id, s.adc_dist,
+             round(
+               list_sum(list_transform(generate_series(1, 64), j -> ve[j] * qv[j]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), j -> ve[j] * ve[j])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), j -> qv[j] * qv[j])))),
+               4) AS cosine
+      FROM short s JOIN e ON e.vec_id = s.vec_id, q
+    )
+    SELECT vec_id, adc_dist, cosine FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM rer) WHERE rn <= 10
+    """,
+)
+def ann_pq_topk(spark, sf_dir):
+    """PQ asymmetric-distance top-k with exact re-rank
+    (textops.pq_adc_topk) — the SEARCH half of the PQ story: the query's
+    per-subspace lookup tables (M*K = {_PQ_M * _PQ_TRAIN_K} doubles,
+    independent of corpus size) are computed driver-side and inlined, so
+    the scan reads each vector's {_PQ_M} CODES only — never its floats —
+    and scores it with {_PQ_M} table lookups + adds.  The top-50 ADC
+    shortlist compiles to a per-partition heap (TakeOrderedAndProject,
+    never a corpus sort), and ONLY those 50 rows are exactly re-ranked by
+    true cosine (the FAISS refine stage).  Ranking keys are rounded to
+    4dp with a vec_id tiebreak so the k-boundary never depends on
+    last-ulp differences.  Query: vec_id 0 (one bounded row collected)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:
+        # no query vector (empty corpus): empty result, stable schema
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("double").alias("cosine"),
+        ).filter(F.lit(False))
+    qvec = [float(x) for x in qrow[0]]
+    return textops.pq_adc_topk(
+        emb,
+        _pq_codebooks(spark, sf_dir),
+        _PQ_DSUB,
+        qvec,
+        k=10,
+        shortlist=50,
+        exclude_id=0,
+    )
+
+
+
+
+@_q(
+    "ann_ivfpq_topk",
+    f"""
+    WITH {_PQ_CTES},
+    c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e0.vec_id, c.centroid_id,
+             list_dot_product(e0.embedding, c.cvec)
+             / (sqrt(list_dot_product(e0.embedding, e0.embedding))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+      FROM embeddings e0, c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    qc AS (SELECT centroid_id FROM assigned WHERE vec_id = 0),
+    probe AS (
+      SELECT a.vec_id FROM assigned a, qc
+      WHERE a.centroid_id = qc.centroid_id AND a.vec_id != 0
+    ),
+    t AS (
+      SELECT m.m, cb.code,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (qv[m.m * 8 + j] - cv[m.m * 8 + j])
+                    * (qv[m.m * 8 + j] - cv[m.m * 8 + j]))) AS qd
+      FROM q, range(8) m(m), cb
+    ),
+    adc AS (
+      SELECT b.vec_id, round(list_sum(list(t.qd ORDER BY b.m)), 4) AS adc_dist
+      FROM best b JOIN probe p ON p.vec_id = b.vec_id
+                  JOIN t ON t.m = b.m AND t.code = b.code
+      GROUP BY b.vec_id
+    ),
+    short AS (
+      SELECT vec_id, adc_dist FROM (
+        SELECT *, row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC) AS rn
+        FROM adc) WHERE rn <= 50
+    ),
+    rer AS (
+      SELECT s.vec_id, s.adc_dist,
+             round(
+               list_sum(list_transform(generate_series(1, 64), j -> ve[j] * qv[j]))
+               / (sqrt(list_sum(list_transform(generate_series(1, 64), j -> ve[j] * ve[j])))
+                  * sqrt(list_sum(list_transform(generate_series(1, 64), j -> qv[j] * qv[j])))),
+               4) AS cosine
+      FROM short s JOIN e ON e.vec_id = s.vec_id, q
+    )
+    SELECT vec_id, adc_dist, cosine FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM rer) WHERE rn <= 10
+    """,
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ search — the two halves composed into the actual FAISS-style
+    index a 10^12-vector deployment runs: the IVF coarse quantizer
+    (`ivf_assign`, inlined 8-centroid codebook) bounds WHICH vectors the
+    query touches (~1/C of the corpus, and the assignment doubles as the
+    storage partitioning key), and PQ bounds what each touched vector
+    COSTS (8 code-byte lookups via the inlined ADC tables — its floats
+    are read only if it survives into the 50-row exact-re-rank
+    shortlist).  Coarse assignment, probe filter, PQ encode and ADC are
+    ALL narrow map-side expressions, so the whole search is scan ->
+    filter -> two TakeOrderedAndProject heaps: ZERO exchanges at any
+    corpus size (plan-gated).  The query's own coarse cell comes from a
+    1-row bounded Spark job at plan time (never a corpus action).
+    Simplification vs production FAISS, documented: PQ encodes the raw
+    vector, not the residual (vector - centroid) — residual encoding
+    drops quantization error but needs a per-cell codebook pass
+    (`ivf_train` shows the shape).  Query: vec_id 0."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = textops.collect_codebook(emb.filter(F.col("vec_id") < 8))
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None or not coarse:
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("double").alias("cosine"),
+        ).filter(F.lit(False))
+    qvec = [float(x) for x in qrow[0]]
+    qc = int(
+        textops.ivf_assign(emb.filter(F.col("vec_id") == 0), coarse)
+        .head()["centroid_id"]
+    )
+    probe = textops.ivf_assign(emb, coarse).filter(
+        (F.col("centroid_id") == qc) & (F.col("vec_id") != 0)
+    )
+    return textops.pq_adc_topk(
+        probe, _pq_codebooks(spark, sf_dir), _PQ_DSUB, qvec, k=10, shortlist=50
+    )
+
 # ----------------------------------------------------------------- contract
 
 

@@ -268,6 +268,10 @@ def main():
         "split_assign",
         "split_leakage_audit",
         "mixture_plan_report",
+        "image_ahash_neardup",
+        "pq_codes",
+        "ann_pq_topk",
+        "ann_ivfpq_topk",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

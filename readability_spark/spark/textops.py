@@ -260,8 +260,32 @@ def simhash_hamming_pairs(
     deployments handle such hot blocks with permutation tables over more
     blocks (Manku section 3); callers here bound the input id range the
     same way the LSH demo does.  Returns (doc_a, doc_b, hamming)."""
-    width = bits // block_count
     sh = simhash(docs, bits, id_col, text_col)
+    return hamming_block_pairs(
+        sh, bits, block_count, max_hamming, id_col=id_col, fp_col="simhash"
+    )
+
+
+def hamming_block_pairs(
+    fps: DataFrame,
+    bits,
+    block_count,
+    max_hamming,
+    id_col="doc_id",
+    fp_col="fp",
+) -> DataFrame:
+    """Manku block-permutation Hamming pairs over ANY precomputed
+    bit-string fingerprint column — the candidate-join + exact-verify
+    machinery shared by `simhash_hamming_pairs` (text) and the image
+    aHash near-dup lane (`__spark_entry__::image_ahash_neardup`): split
+    the fingerprint into ``block_count`` equal blocks, equi-join on
+    (block_no, block_value) for candidates (pigeonhole: exact recall up
+    to Hamming <= block_count - 1), verify bitwise on the collision set
+    only.  The verify fingerprint lookup is semi-joined down to ids that
+    appear in a candidate pair and left UNHINTED (the `minhash_lsh_pairs`
+    sizes discipline).  Returns (doc_a, doc_b, hamming)."""
+    width = bits // block_count
+    sh = fps.select(id_col, F.col(fp_col).alias("simhash"))
     blocks = sh.select(
         id_col,
         F.explode(
@@ -938,4 +962,186 @@ def semdedup(
                 | (F.col("cluster_id") == F.col(id_col))
             ).alias("keep"),
         )
+    )
+
+
+# --------------------------------------------------------------- product
+# quantization (Jégou, Douze & Schmid, TPAMI 2011): the memory-compression
+# half of a FAISS-style IVF-PQ index.  IVF (ivf_assign/ann_ivf_topk) bounds
+# WHICH vectors a query touches; PQ bounds what each touched vector COSTS —
+# M one-byte codes (here 8) instead of dim floats (here 64 x 4 bytes), the
+# 32x shrink that lets 10^12 vectors sit in cluster memory at all.  Search
+# reads codes only (asymmetric distance: per-query lookup tables), never
+# the raw vectors, except to re-rank a bounded shortlist.
+
+
+def pq_codebooks_from_vectors(
+    train: DataFrame, m, dsub, id_col="vec_id", vec_col="embedding"
+):
+    """Slice K bounded training vectors into M sub-codebooks.
+
+    ``train`` must be small by contract (K codewords per subquantizer — a
+    real pipeline k-means-trains each sub-codebook the `ivf_train` way;
+    the codebook is K*dsub*M floats regardless of corpus size, so the
+    collect here is bounded by construction, same as `collect_codebook`).
+    Rows are sorted by id so codes are deterministic.  Returns a list of
+    M sub-codebooks, each a list of (code, subvector) with code 0..K-1."""
+    rows = sorted(collect_codebook(train, id_col, vec_col))
+    return [
+        [
+            (code, vec[mi * dsub : (mi + 1) * dsub])
+            for code, (_cid, vec) in enumerate(rows)
+        ]
+        for mi in range(m)
+    ]
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance between two array columns, accumulated in
+    DOUBLE left-to-right (the same fold order the DuckDB oracle's
+    list_sum and the pure-Python replays use, so the three agree to the
+    last bit on float32-sourced inputs)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subcodebook_array(subcb):
+    """Inline one sub-codebook as an array<struct<k,c>> literal."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(code).cast("int").alias("k"),
+                F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+            )
+            for code, vec in subcb
+        ]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks,
+    dsub,
+    id_col="vec_id",
+    vec_col="embedding",
+    keep_cols=(),
+) -> DataFrame:
+    """PQ-encode every vector: codes[mi] = argmin_k ||sub_mi - c_mi_k||^2.
+
+    The codebooks ride as inlined literals (the `ivf_assign` idiom), so
+    encoding is a pure narrow projection — NO join, NO shuffle, NO
+    Python; at 10^12 vectors this is one map pass that co-schedules with
+    the scan.  Ties break to the lowest code (array_max over
+    struct(-dist, -k), the ivf_assign tie-break).  Also emits
+    ``recon_err``, the summed per-subvector quantization error — the
+    quality number a PQ deployment tracks.  Returns
+    (id, *keep_cols, codes array<int>, recon_err double)."""
+    if not codebooks or any(len(cb) == 0 for cb in codebooks):
+        # empty training set (empty corpus): typed null columns keep the
+        # schema stable so the whole query degrades to an empty result
+        # instead of an AnalysisException (the _codebook_array contract)
+        return emb.select(
+            id_col,
+            *keep_cols,
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit(None).cast("double").alias("recon_err"),
+        )
+    vec = F.col(vec_col).cast("array<double>")
+    code_cols, err_cols = [], []
+    for mi, subcb in enumerate(codebooks):
+        sub = F.slice(vec, mi * dsub + 1, dsub)
+        best = F.array_max(
+            F.transform(
+                _pq_subcodebook_array(subcb),
+                lambda c: F.struct(
+                    (-_sq_dist(sub, c["c"])).alias("nd"),
+                    (-c["k"]).alias("nk"),
+                ),
+            )
+        )
+        code_cols.append((-best["nk"]).cast("int"))
+        err_cols.append(-best["nd"])
+    recon = err_cols[0]
+    for e in err_cols[1:]:
+        recon = recon + e
+    return emb.select(
+        id_col,
+        *keep_cols,
+        F.array(*code_cols).alias("codes"),
+        recon.alias("recon_err"),
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebooks,
+    dsub,
+    query_vec,
+    k=10,
+    shortlist=50,
+    id_col="vec_id",
+    vec_col="embedding",
+    exclude_id=None,
+):
+    """Asymmetric-distance (ADC) top-k over PQ codes, with exact re-rank.
+
+    ``query_vec`` is ONE query's raw vector (a plain Python list — one
+    bounded row, collected by the caller).  The per-query lookup tables
+    T[mi][code] = ||q_sub_mi - c_mi_code||^2 are computed driver-side
+    (M*K values — 128 doubles here, independent of corpus size) and
+    inlined, so the ADC scan is a map-side code-array lookup + M-term
+    add per vector: the corpus' raw vectors are never read.  The top
+    ``shortlist`` by ADC distance compiles to a per-partition heap
+    (TakeOrderedAndProject — never a corpus sort), and only those
+    ``shortlist`` rows are exactly re-ranked by true cosine (the
+    FAISS refine stage).  Ranking keys are rounded to 4dp with an id
+    tiebreak so k-boundaries never depend on last-ulp libm differences.
+    Returns the final top-``k`` (id, adc_dist, cosine)."""
+    if not codebooks or any(len(cb) == 0 for cb in codebooks):
+        # no codebook (empty corpus) -> no index -> empty result, stable
+        # schema (the pq_encode degradation contract)
+        return emb.select(
+            id_col,
+            F.lit(None).cast("double").alias("adc_dist"),
+            F.lit(None).cast("double").alias("cosine"),
+        ).filter(F.lit(False))
+    q = [float(x) for x in query_vec]
+    tables = []
+    for mi, subcb in enumerate(codebooks):
+        qsub = q[mi * dsub : (mi + 1) * dsub]
+        row = []
+        for _code, cvec in subcb:
+            acc = 0.0
+            for a, b in zip(qsub, cvec):
+                acc = acc + (a - b) * (a - b)
+            row.append(acc)
+        tables.append(row)
+    enc = pq_encode(emb, codebooks, dsub, id_col, vec_col, keep_cols=(vec_col,))
+    if exclude_id is not None:
+        enc = enc.filter(F.col(id_col) != exclude_id)
+    adc = None
+    for mi, row in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.element_at(F.col("codes"), mi + 1) + 1,
+        )
+        adc = term if adc is None else adc + term
+    qlit = F.array(*[F.lit(x) for x in q])
+    vec = F.col(vec_col).cast("array<double>")
+    short = (
+        enc.select(id_col, vec_col, F.round(adc, 4).alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(shortlist)
+    )
+    return (
+        short.select(
+            id_col,
+            "adc_dist",
+            F.round(_cosine(vec, qlit), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -1026,6 +1026,71 @@ def main():
         materialize=True,
     )
 
+    # pq_codes: PQ encoding is a pure narrow projection — codebooks ride
+    # as literals, so the corpus is never joined, shuffled, or handed to
+    # Python; zero exchanges at any corpus size
+    check(
+        "pq_codes_map_only",
+        allq["pq_codes"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[
+            r"Join",
+            r"HashAggregate",
+            r"Window",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"Sort\b",
+        ],
+        exact_exchanges=0,
+    )
+
+    # ann_pq_topk: the ADC scan feeds a per-partition heap
+    # (TakeOrderedAndProject), the exact re-rank is a SECOND heap over the
+    # bounded shortlist — never a corpus Sort, never a join, zero
+    # exchanges; the self-exclusion filter reaches the parquet scan
+    check(
+        "ann_pq_topk_two_heaps_zero_exchange",
+        allq["ann_pq_topk"](spark, SF_DIR),
+        must=[
+            r"TakeOrderedAndProject[\s\S]*TakeOrderedAndProject",
+            r"PushedFilters: \[[^\]]*Not\(EqualTo\(vec_id,0\)\)",
+        ],
+        must_not=[r"Join", r"MapInPandas", r"ArrowEvalPython", r"Sort\b"],
+        exact_exchanges=0,
+    )
+
+    # ann_ivfpq_topk: the composed FAISS-style index keeps BOTH bounds in
+    # one plan — coarse probe filter and PQ/ADC all narrow (scan ->
+    # filter -> project), shortlist + re-rank as two per-partition heaps;
+    # zero exchanges, no joins, no Python at any corpus size
+    check(
+        "ann_ivfpq_topk_probe_filter_two_heaps",
+        allq["ann_ivfpq_topk"](spark, SF_DIR),
+        must=[
+            r"TakeOrderedAndProject[\s\S]*TakeOrderedAndProject",
+            r"Filter",
+        ],
+        must_not=[r"Join", r"MapInPandas", r"ArrowEvalPython", r"Sort\b"],
+        exact_exchanges=0,
+    )
+
+    # image_ahash_neardup: same contract as the text SimHash gate — the
+    # decode+hash is narrow (no Python), candidates come from ONE
+    # equi-join on the (block, value) key, nothing all-pairs/cartesian,
+    # no global sort; verify lookup semi-joined and unhinted (source audit)
+    check(
+        "image_ahash_block_join_only",
+        allq["image_ahash_neardup"](spark, SF_DIR),
+        must=[r"HashAggregate"],
+        must_not=[
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"CartesianProduct",
+            r"Sort\b.*global=true",
+        ],
+        materialize=True,
+    )
+
     # --- source-level broadcast-hint audit ------------------------------
     # Every F.broadcast() in the engine must sit on a frame whose size is
     # BOUNDED BY CONSTRUCTION (a fixed suite, a 1-row aggregate, a capped
