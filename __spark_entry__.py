@@ -8082,6 +8082,218 @@ def ann_ivfpq_topk(spark, sf_dir):
         probe, _pq_codebooks(spark, sf_dir), _PQ_DSUB, qvec, k=10, shortlist=50
     )
 
+
+
+@_q(
+    "canonical_link_dedup",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             'https://' || (CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END)
+               || '.example.com' AS dom,
+             {_SQL_URL}
+               || (CASE WHEN doc_id % 5 IN (1, 2, 3)
+                        THEN '?utm_source=feed' ELSE '' END) AS url,
+             doc_id // 5 AS gid
+      FROM documents
+    ),
+    meta AS (
+      SELECT url,
+             CASE WHEN doc_id % 5 IN (1, 2)
+                    THEN 'https://canonical.example.com/story/' || gid
+                  WHEN doc_id % 5 = 3 THEN dom || '/story/' || gid
+             END AS canonical,
+             doc_id % 7 = 3 AS noindex
+      FROM base
+    )
+    SELECT coalesce(canonical, url) AS canon_key,
+           min(url) AS kept_url,
+           count(*) AS n_pages,
+           CAST(count(*) FILTER (WHERE canonical IS NOT NULL) AS BIGINT)
+             AS n_declared
+    FROM meta WHERE NOT noindex
+    GROUP BY 1
+    """,
+)
+def canonical_link_dedup(spark, sf_dir):
+    """Canonical-link dedup + robots-noindex curation — the SEO-signal
+    lane every production crawl pipeline runs BEFORE content hashing
+    (pages declare their own duplicate groups; honoring them is cheaper
+    and more precise than near-dup detection for tracked-URL variants):
+    extract each page's <link rel=canonical> target and robots
+    directives with the engine's own DOM parser
+    (spark/links.py::page_seo_meta — first canonical in tree order wins,
+    rel matched as a case-insensitive token list, href resolved against
+    the page URL like outlinks, robots 'noindex' matched as a whole
+    comma-token), drop noindex pages, then group by
+    coalesce(canonical, url) and keep the lexicographically-least URL
+    per group.  Complements `url_dedup_normalized` (string-rule URL
+    canonicalization) with the page-DECLARED grouping.
+
+    Input is the SEO page variant (pages.seo_pages_from_documents):
+    tracked-URL duplicates declaring absolute, case-variant and RELATIVE
+    canonicals plus a first-wins decoy and non-noindex robots decoys —
+    every parsing branch is load-bearing in the oracle's closed form.
+
+    Plan at scale: ONE vectorized extraction pass (the mapInPandas stage
+    IS the product's design) and ONE map-combined aggregate keyed on the
+    canonical target — a single exchange whose key is exactly the
+    partitioning a downstream fetch-dedup wants; no joins."""
+    from readability_spark.spark.links import page_seo_meta
+    from readability_spark.spark.pages import seo_pages_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = page_seo_meta(seo_pages_from_documents(docs))
+    return (
+        meta.filter(~F.col("noindex"))
+        .groupBy(
+            F.coalesce(F.col("canonical"), F.col("url")).alias("canon_key")
+        )
+        .agg(
+            F.min("url").alias("kept_url"),
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count(F.col("canonical")).alias("n_declared"),
+        )
+    )
+
+
+
+@_q(
+    "pq_residual_report",
+    f"""
+    WITH {_PQ_CTES},
+    c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+          FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e0.vec_id, c.centroid_id,
+             list_dot_product(e0.embedding, c.cvec)
+             / (sqrt(list_dot_product(e0.embedding, e0.embedding))
+                * sqrt(list_dot_product(c.cvec, c.cvec))) AS ccos
+      FROM embeddings e0, c
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY ccos DESC, centroid_id ASC) AS rn
+        FROM scored) WHERE rn = 1
+    ),
+    r AS (
+      SELECT e.vec_id, a.centroid_id,
+             list_transform(generate_series(1, 64),
+               j -> ve[j] - CAST(cv2.cvec AS DOUBLE[])[j]) AS rv
+      FROM e JOIN assigned a USING (vec_id)
+             JOIN c cv2 ON cv2.centroid_id = a.centroid_id
+    ),
+    rcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv AS rcv
+            FROM r WHERE vec_id < 16),
+    rd AS (
+      SELECT r.vec_id, m.m, rcb.code,
+             list_sum(list_transform(generate_series(1, 8),
+               j -> (rv[m.m * 8 + j] - rcv[m.m * 8 + j])
+                    * (rv[m.m * 8 + j] - rcv[m.m * 8 + j]))) AS dist
+      FROM r, range(8) m(m), rcb
+    ),
+    rbest AS (
+      SELECT vec_id, m, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+        FROM rd) WHERE rn = 1
+    ),
+    raw AS (SELECT vec_id, list_sum(list(dist ORDER BY m)) AS recon_raw
+            FROM best GROUP BY vec_id),
+    res AS (SELECT vec_id, list_sum(list(dist ORDER BY m)) AS recon_res
+            FROM rbest GROUP BY vec_id)
+    SELECT rr.vec_id, CAST(rr.centroid_id AS BIGINT) AS centroid_id,
+           round(raw.recon_raw, 4) AS recon_raw,
+           round(res.recon_res, 4) AS recon_res,
+           res.recon_res < raw.recon_raw AS improved
+    FROM (SELECT DISTINCT vec_id, centroid_id FROM r) rr
+         JOIN raw USING (vec_id) JOIN res USING (vec_id)
+    """,
+)
+def pq_residual_report(spark, sf_dir):
+    """Residual-PQ quantization audit — the production FAISS refinement
+    `ann_ivfpq_topk`'s docstring defers, implemented and MEASURED: encode
+    each vector's RESIDUAL (vector - its IVF centroid) instead of the raw
+    vector, and report both quantization errors side by side.  Residual
+    encoding pays when the coarse centroids are true cluster MEANS
+    (residuals then concentrate near the origin, so the codebook budget
+    covers a tighter distribution — why production IVF-PQ encodes
+    residuals); it HURTS when they are not.  This demo deliberately runs
+    the audit against the serving path's stand-in quantizer (8 arbitrary
+    corpus vectors, not k-means means — `ivf_train` is the trained
+    alternative), and the audit correctly returns the negative verdict:
+    subtracting a non-mean vector INFLATES variance, improved=false
+    corpus-wide at sf0.01.  That is the audit doing its job — catching a
+    misconfigured index before a 10^12-vector build, the same
+    measure-don't-assume contract as `lsh_recall_report` and
+    `ann_recall_report`.  Residual sub-codebooks come from the residuals
+    of the SAME bounded training slice the raw path uses.
+
+    Plan at scale: coarse assignment, the centroid lookup (an inlined
+    8-row array indexed by centroid_id), the residual subtraction and
+    BOTH encodes are narrow map-side expressions chained in one
+    projection pipeline — ZERO exchanges, zero joins, no Python
+    (plan-gated pq_residual_map_only); `improved` compares the UNROUNDED
+    sums, bit-identical on both engines by the shared fold orders."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = sorted(
+        textops.collect_codebook(emb.filter(F.col("vec_id") < 8))
+    )
+    if not coarse:
+        return emb.select(
+            "vec_id",
+            F.lit(None).cast("long").alias("centroid_id"),
+            F.lit(None).cast("double").alias("recon_raw"),
+            F.lit(None).cast("double").alias("recon_res"),
+            F.lit(None).cast("boolean").alias("improved"),
+        )
+    assigned = textops.ivf_assign(emb, coarse)
+    # centroid ids are dense 0..7 here, so the centroid VECTOR lookup is
+    # an element_at into an inlined 8-row array — still map-side
+    cvecs = F.array(
+        *[F.array(*[F.lit(float(x)) for x in vec]) for _cid, vec in coarse]
+    )
+    resid = F.zip_with(
+        F.col("embedding").cast("array<double>"),
+        F.element_at(cvecs, F.col("centroid_id").cast("int") + 1),
+        lambda x, y: x - y,
+    )
+    rframe = assigned.select(
+        "vec_id", "embedding", "centroid_id", resid.alias("resid")
+    )
+    cb_res = textops.pq_codebooks_from_vectors(
+        rframe.filter(F.col("vec_id") < _PQ_TRAIN_K),
+        _PQ_M,
+        _PQ_DSUB,
+        vec_col="resid",
+    )
+    step1 = textops.pq_encode(
+        rframe,
+        _pq_codebooks(spark, sf_dir),
+        _PQ_DSUB,
+        keep_cols=("centroid_id", "resid"),
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "resid",
+        F.col("recon_err").alias("recon_raw"),
+    )
+    step2 = textops.pq_encode(
+        step1,
+        cb_res,
+        _PQ_DSUB,
+        vec_col="resid",
+        keep_cols=("centroid_id", "recon_raw"),
+    )
+    return step2.select(
+        "vec_id",
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round("recon_raw", 4).alias("recon_raw"),
+        F.round("recon_err", 4).alias("recon_res"),
+        (F.col("recon_err") < F.col("recon_raw")).alias("improved"),
+    )
+
 # ----------------------------------------------------------------- contract
 
 

@@ -272,6 +272,8 @@ def main():
         "pq_codes",
         "ann_pq_topk",
         "ann_ivfpq_topk",
+        "canonical_link_dedup",
+        "pq_residual_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

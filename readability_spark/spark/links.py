@@ -78,3 +78,70 @@ def page_outlinks(pages, url_col="url", html_col="html"):
             )
 
     return cols.mapInPandas(extract, schema=OUTLINKS_SCHEMA)
+
+
+SEO_META_SCHEMA = "url string, canonical string, noindex boolean"
+
+
+def _page_seo_meta(url: str, html):
+    if html is None:
+        return (url, None, False)
+    try:
+        raw = bytes(html).decode("utf-8")
+    except (UnicodeDecodeError, TypeError):
+        return (url, None, False)
+    try:
+        doc = dom.parse_document(raw)
+    except Exception:
+        return (url, None, False)
+    base = _base_uri(doc, url)
+    canonical = None
+    for node in dom.select(doc, "link"):
+        rel = node.attr("rel")
+        href = node.attr("href")
+        if rel is None or href is None or not href.strip():
+            continue
+        # rel is a space-separated token list, matched case-insensitively
+        # (html5 link-type rules); FIRST canonical in tree order wins —
+        # the Google-documented behavior for conflicting declarations
+        if "canonical" in rel.strip().lower().split():
+            try:
+                canonical = urljoin(base, href.strip())
+            except ValueError:
+                canonical = href.strip()
+            break
+    noindex = False
+    for node in dom.select(doc, "meta"):
+        name = node.attr("name")
+        content = node.attr("content")
+        if name is None or content is None:
+            continue
+        if name.strip().lower() == "robots":
+            # comma-separated directive tokens — 'noindex' must be a
+            # whole token ('noindexing' or substring hits must not count)
+            tokens = [t.strip().lower() for t in content.split(",")]
+            if "noindex" in tokens:
+                noindex = True
+                break
+    return (url, canonical, noindex)
+
+
+def page_seo_meta(pages, url_col="url", html_col="html"):
+    """pages(url, html, ...) -> (url, canonical, noindex): the two SEO
+    dedup/curation signals a crawl pipeline reads per page — the page's
+    declared canonical URL (<link rel=canonical>, first in tree order,
+    href resolved like outlinks: <base href> honored) and whether robots
+    directives forbid indexing.  Same vectorized mapInPandas batch shape
+    and failure isolation as `page_outlinks` (undecodable pages emit
+    null canonical / noindex=false rather than failing the task)."""
+    cols = pages.select(url_col, html_col)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _page_seo_meta(url, html)
+                for url, html in zip(pdf[url_col], pdf[html_col])
+            ]
+            yield pd.DataFrame(rows, columns=["url", "canonical", "noindex"])
+
+    return cols.mapInPandas(extract, schema=SEO_META_SCHEMA)

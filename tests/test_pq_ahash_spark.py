@@ -251,3 +251,55 @@ class TestIvfPq:
         assert [r.vec_id for r in got] == want
         # the probe bound is real: every served row sits in the query's cell
         assert all(assigned[r.vec_id] == qc for r in got)
+
+
+class TestPqResidual:
+    def test_residual_replay_and_negative_verdict(self, spark, vectors):
+        """Replay the residual chain in Python (assignment taken from the
+        engine's own ivf_assign, the frame the query consumes) and assert
+        the audit's values — and that on THIS stand-in quantizer it
+        correctly reports residual encoding does NOT pay (the documented
+        negative verdict)."""
+        from readability_spark.spark import textops
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        coarse = sorted(
+            textops.collect_codebook(emb.filter(F.col("vec_id") < 8))
+        )
+        assigned = {
+            r.vec_id: r.centroid_id
+            for r in textops.ivf_assign(emb, coarse).collect()
+        }
+        cvec = {cid: v for cid, v in coarse}
+        resid = {
+            vid: [x - y for x, y in zip(v, cvec[assigned[vid]])]
+            for vid, v in vectors.items()
+        }
+        m, dsub, k = 8, 8, 16
+
+        def encode(space):
+            cb = [space[i] for i in range(k)]
+            out = {}
+            for vid, v in space.items():
+                recon = 0.0
+                for mi in range(m):
+                    sub = v[mi * dsub : (mi + 1) * dsub]
+                    recon = recon + min(
+                        _sq(sub, c[mi * dsub : (mi + 1) * dsub]) for c in cb
+                    )
+                out[vid] = recon
+            return out
+
+        raw = encode(vectors)
+        res = encode(resid)
+        got = {r.vec_id: r for r in entry.pq_residual_report(spark, SF_DIR).collect()}
+        assert got.keys() == vectors.keys()
+        for vid, r in got.items():
+            assert r.centroid_id == assigned[vid]
+            assert r.recon_raw == pytest.approx(round(raw[vid], 4), abs=0)
+            assert r.recon_res == pytest.approx(round(res[vid], 4), abs=0)
+            assert r.improved == (res[vid] < raw[vid])
+        # the documented negative verdict on the stand-in quantizer:
+        # residual encoding must not look like a win here
+        improved = sum(1 for r in got.values() if r.improved)
+        assert improved / len(got) < 0.5

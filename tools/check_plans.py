@@ -1074,6 +1074,38 @@ def main():
         exact_exchanges=0,
     )
 
+    # canonical_link_dedup: one vectorized DOM extraction pass (the
+    # MapInPandas stage IS the design), one aggregate on the canonical
+    # key — exactly one exchange, no joins.  min(string) has an immutable
+    # aggregation buffer, so Spark compiles a SortAggregate (partial
+    # map-side like hash agg; its Sorts are per-partition on the group
+    # key, never a corpus-global order)
+    check(
+        "canonical_dedup_one_extraction_one_agg",
+        allq["canonical_link_dedup"](spark, SF_DIR),
+        must=[r"MapInPandas", r"SortAggregate|HashAggregate"],
+        must_not=[r"Join", r"Sort\b.*global=true", r"Window"],
+        exact_exchanges=1,
+    )
+
+    # pq_residual_report: coarse assignment, the inlined centroid-vector
+    # lookup, the residual subtraction and BOTH encodes chain as narrow
+    # projections — zero exchanges, zero joins, no Python
+    check(
+        "pq_residual_map_only",
+        allq["pq_residual_report"](spark, SF_DIR),
+        must=[r"Scan parquet"],
+        must_not=[
+            r"Join",
+            r"HashAggregate",
+            r"Window",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+            r"Sort\b",
+        ],
+        exact_exchanges=0,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
