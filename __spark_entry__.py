@@ -8294,6 +8294,113 @@ def pq_residual_report(spark, sf_dir):
         (F.col("recon_err") < F.col("recon_raw")).alias("improved"),
     )
 
+
+
+#: Zipf audit geometry: top-K token ranks fitted by least squares on
+#: log10-log10 (a healthy natural-language corpus fits slope ~ -1;
+#: boilerplate-flooded or synthetic corpora bend the curve)
+_ZIPF_TOP_K = 64
+
+
+@_q(
+    "corpus_zipf_report",
+    f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE trim(text) != ''
+    ),
+    cnt AS (SELECT token, count(*) AS cnt FROM tok WHERE token != '' GROUP BY token),
+    top AS (
+      SELECT token, cnt FROM cnt
+      ORDER BY cnt DESC, token ASC LIMIT {_ZIPF_TOP_K}
+    ),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM top
+    ),
+    xy AS (
+      SELECT token, cnt, rank,
+             log10(CAST(rank AS DOUBLE)) AS x, log10(CAST(cnt AS DOUBLE)) AS y
+      FROM ranked
+    ),
+    fit AS (
+      SELECT *,
+             count(*) OVER () AS n,
+             sum(x) OVER () AS sx, sum(y) OVER () AS sy,
+             sum(x * y) OVER () AS sxy, sum(x * x) OVER () AS sxx
+      FROM xy
+    )
+    SELECT CAST(rank AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+           round(y, 4) AS log_cnt,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                 + (n * sxy - sx * sy) / (n * sxx - sx * sx) * x, 4)
+             AS fit_log_cnt
+    FROM fit
+    """,
+)
+def corpus_zipf_report(spark, sf_dir):
+    """Zipf rank-frequency audit — the corpus-statistics row of a data
+    card next to `source_data_card`'s volume numbers: the top-{_ZIPF_TOP_K}
+    token frequencies with a least-squares log10-log10 fit (rank vs
+    count).  Natural language sits near slope -1 (Zipf's law); a corpus
+    flooded with boilerplate (one phrase dominating), templated spam, or
+    synthetic text bends the head or the slope — this is the one-glance
+    distribution check run per source/snapshot before training.
+
+    Plan at scale: ONE vocabulary-sized map-combined aggregate (the
+    tf_idf df shape), a {_ZIPF_TOP_K}-row per-partition heap
+    (TakeOrderedAndProject — never a corpus sort), then ranking,
+    regression sums and fitted values as windows over the {_ZIPF_TOP_K}
+    bounded rows (the single-partition window is {_ZIPF_TOP_K} rows by
+    construction, not a corpus).  Ranking is integer-count ordered with
+    a token tiebreak, so the K-boundary never depends on float libm;
+    the log10/regression doubles are display values rounded to 4dp
+    (the tf_idf/bm25 discipline)."""
+    from pyspark.sql import Window
+
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(
+        _ZIPF_TOP_K
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = top.select(
+        "token", "cnt", F.row_number().over(w).alias("rank")
+    )
+    x = F.log10(F.col("rank").cast("double"))
+    y = F.log10(F.col("cnt").cast("double"))
+    xy = ranked.select("token", "cnt", "rank", x.alias("x"), y.alias("y"))
+    wa = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    ).orderBy("rank")
+    fit = xy.select(
+        "*",
+        F.count(F.lit(1)).over(wa).alias("n"),
+        F.sum("x").over(wa).alias("sx"),
+        F.sum("y").over(wa).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wa).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wa).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return fit.select(
+        F.col("rank").cast("int").alias("rank"),
+        "token",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("y", 4).alias("log_cnt"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept + slope * F.col("x"), 4).alias("fit_log_cnt"),
+    )
+
 # ----------------------------------------------------------------- contract
 
 

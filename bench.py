@@ -274,6 +274,7 @@ def main():
         "ann_ivfpq_topk",
         "canonical_link_dedup",
         "pq_residual_report",
+        "corpus_zipf_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -654,3 +654,44 @@ def test_mixture_plan_replay(spark):
         exp_epochs = share * entry._MIX_BUDGET_X * total / counts[r.source]
         assert abs(r.epochs - exp_epochs) < 1e-3
         assert r.over_epoch_cap == int(exp_epochs > entry._MIX_EPOCH_CAP)
+
+
+def test_zipf_report_replay(spark):
+    """Pure-Python replay of the Zipf audit: counts, top-K ranking with
+    the integer/token tiebreak, and the least-squares fit — and the
+    documented diagnostic: this synthetic corpus must NOT look Zipfian
+    (natural language sits near slope -1; flat synthetic vocab does not)."""
+    import math
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for r in entry._docs(spark, SF_DIR).collect():
+        if r.text and r.text.strip():
+            for t in r.text.strip().split(" "):
+                if t:
+                    counts[t] += 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        : entry._ZIPF_TOP_K
+    ]
+    xs = [math.log10(i + 1) for i in range(len(top))]
+    ys = [math.log10(c) for _t, c in top]
+    n = len(top)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    rows = sorted(
+        entry.corpus_zipf_report(spark, SF_DIR).collect(), key=lambda r: r.rank
+    )
+    assert [(r.rank, r.token, r.cnt) for r in rows] == [
+        (i + 1, t, c) for i, (t, c) in enumerate(top)
+    ]
+    for i, r in enumerate(rows):
+        assert r.log_cnt == pytest.approx(round(ys[i], 4), abs=1e-9)
+        assert r.zipf_slope == pytest.approx(round(slope, 4), abs=1e-9)
+        assert r.fit_log_cnt == pytest.approx(
+            round(intercept + slope * xs[i], 4), abs=1e-9
+        )
+    # diagnostic teeth: synthetic flat vocab reads far from Zipf's -1
+    assert rows[0].zipf_slope > -0.6

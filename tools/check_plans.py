@@ -1106,6 +1106,18 @@ def main():
         exact_exchanges=0,
     )
 
+    # corpus_zipf_report: one vocabulary-sized map-combined aggregate,
+    # a top-K per-partition heap (never a corpus sort), and the
+    # rank/regression windows ride the heap's single-partition output —
+    # exactly ONE exchange end to end, no joins, no Python
+    check(
+        "zipf_one_vocab_exchange_heap_topk",
+        allq["corpus_zipf_report"](spark, SF_DIR),
+        must=[r"TakeOrderedAndProject", r"HashAggregate"],
+        must_not=[r"Join", r"MapInPandas", r"ArrowEvalPython"],
+        exact_exchanges=1,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
