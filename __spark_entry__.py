@@ -8401,6 +8401,61 @@ def corpus_zipf_report(spark, sf_dir):
         F.round(intercept + slope * F.col("x"), 4).alias("fit_log_cnt"),
     )
 
+
+
+#: frozen eval-holdout quota per language stratum
+_EHS_QUOTA = 20
+
+
+@_q(
+    "eval_holdout_sample",
+    f"""
+    SELECT doc_id, lang, CAST(rn AS INT) AS holdout_rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('holdout:' || CAST(doc_id AS VARCHAR)) ASC,
+                        doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= {_EHS_QUOTA}
+    """,
+)
+def eval_holdout_sample(spark, sf_dir):
+    """Frozen eval-holdout construction — EXACTLY {_EHS_QUOTA} documents
+    per language stratum (or the whole stratum when smaller), selected
+    by hash order (md5 of a salted doc key, doc_id tiebreak): the fixed-
+    SIZE companion to `sample_stratified`'s fixed-RATE sampler.  The two
+    guarantees differ and teams need both: rate sampling is stable under
+    corpus growth (a kept doc stays kept forever — right for training
+    mixes), while quota sampling pins an eval set's exact size and
+    balance for a FIXED snapshot (right for frozen benchmark splits,
+    where adding corpus must instead trigger re-freezing, not silent
+    drift — pair with `split_assign`, whose content-keyed splits the
+    holdout should be drawn from in production).  No rand(): the same
+    snapshot yields the same holdout on every engine, run and retry.
+
+    Plan at scale: ONE exchange (the per-stratum ranking window, keyed
+    on lang) and a rank filter — no joins, no Python; the window's
+    per-partition state is one counter, and with |langs| strata the
+    output is bounded at |langs| * {_EHS_QUOTA} rows regardless of
+    corpus size.  At 10^12 docs one would pre-filter with
+    `sample_stratified` at a generous rate first so the window sees a
+    sliver, then quota-rank that sliver — same plan shape, documented
+    here as the composition."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("holdout:"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _EHS_QUOTA)
+        .select("doc_id", "lang", F.col("rn").cast("int").alias("holdout_rank"))
+    )
+
 # ----------------------------------------------------------------- contract
 
 

@@ -275,6 +275,7 @@ def main():
         "canonical_link_dedup",
         "pq_residual_report",
         "corpus_zipf_report",
+        "eval_holdout_sample",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

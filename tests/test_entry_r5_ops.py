@@ -695,3 +695,33 @@ def test_zipf_report_replay(spark):
         )
     # diagnostic teeth: synthetic flat vocab reads far from Zipf's -1
     assert rows[0].zipf_slope > -0.6
+
+
+def test_eval_holdout_replay_and_quota(spark):
+    """Pure-Python replay of the holdout ranking; exact quota per
+    stratum (or whole stratum when smaller); disjoint hash order from
+    sample_stratified's keyspace (different salt)."""
+    import hashlib
+
+    docs = [(r.doc_id, r.lang) for r in entry._docs(spark, SF_DIR).collect()]
+    by_lang: dict = {}
+    for d, lang in docs:
+        by_lang.setdefault(lang, []).append(d)
+    want = {}
+    for lang, ids in by_lang.items():
+        order = sorted(
+            ids,
+            key=lambda d: (hashlib.md5(f"holdout:{d}".encode()).hexdigest(), d),
+        )
+        for i, d in enumerate(order[: entry._EHS_QUOTA]):
+            want[d] = (lang, i + 1)
+    got = {
+        r.doc_id: (r.lang, r.holdout_rank)
+        for r in entry.eval_holdout_sample(spark, SF_DIR).collect()
+    }
+    assert got == want
+    from collections import Counter
+
+    per_stratum = Counter(lang for lang, _rn in got.values())
+    for lang, ids in by_lang.items():
+        assert per_stratum[lang] == min(entry._EHS_QUOTA, len(ids))

@@ -1118,6 +1118,17 @@ def main():
         exact_exchanges=1,
     )
 
+    # eval_holdout_sample: one per-stratum ranking window (ONE exchange
+    # keyed on lang) + a rank filter — no joins, no Python, output
+    # bounded at |strata| * quota rows
+    check(
+        "eval_holdout_one_stratum_window",
+        allq["eval_holdout_sample"](spark, SF_DIR),
+        must=[r"Window"],
+        must_not=[r"Join", r"MapInPandas", r"ArrowEvalPython", r"HashAggregate"],
+        exact_exchanges=1,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
