@@ -8456,6 +8456,79 @@ def eval_holdout_sample(spark, sf_dir):
         .select("doc_id", "lang", F.col("rn").cast("int").alias("holdout_rank"))
     )
 
+
+
+#: demo tag dictionary (term -> category) standing in for the config
+#: artifact a compliance/brand-safety pass ships (UT1-style category
+#: term lists, typically 10^3-10^5 terms — bounded by construction, a
+#: config file, never corpus-derived); shared verbatim with the oracle
+_KWT_RULES = [
+    ("join", "relational"), ("merge", "relational"), ("agg", "relational"),
+    ("group", "relational"), ("sort", "relational"),
+    ("stream", "streaming"), ("window", "streaming"), ("batch", "streaming"),
+    ("slow", "perf"), ("fast", "perf"), ("big", "perf"), ("small", "perf"),
+]
+#: a document is flagged for a tag at >= this many hits (multiple
+#: occurrences, not merely presence — the usual precision lever)
+_KWT_FLAG_HITS = 3
+
+_KWT_RULES_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS term, '{g}' AS tag" for t, g in _KWT_RULES
+)
+
+
+@_q(
+    "keyword_tag_report",
+    f"""
+    WITH rules AS ({_KWT_RULES_SQL}),
+    tok AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+      FROM documents WHERE trim(text) != ''
+    )
+    SELECT doc_id, tag,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+           count(*) >= {_KWT_FLAG_HITS} AS flagged
+    FROM tok JOIN rules USING (term)
+    GROUP BY doc_id, tag
+    """,
+)
+def keyword_tag_report(spark, sf_dir):
+    """Dictionary-based content tagging — the brand-safety / compliance /
+    topic-tagging lane (the body-text complement to `url_blocklist_filter`'s
+    URL-level rules): every document is scored against a category term
+    dictionary, emitting per (doc, tag) hit and distinct-term counts plus
+    a flagged verdict at >= {_KWT_FLAG_HITS} hits (occurrence count, not
+    mere presence — the standard precision lever).  The dictionary here
+    is a 12-term stand-in for the config artifact a real pass ships
+    (UT1-style category lists, 10^3-10^5 terms).
+
+    Plan at scale: the dictionary is bounded BY CONSTRUCTION (a config
+    file, never corpus-derived), so it broadcasts — the token stream is
+    filtered down to dictionary matches map-side by the broadcast hash
+    join BEFORE anything shuffles; the two exchanges that remain — the
+    distinct-term grain and the (doc, tag) rollup — are both over
+    surviving HIT volume (bounded by the dictionary), never raw token
+    volume.  Output is delta-only: documents with zero dictionary hits
+    emit no rows (the crawl_diff_report convention)."""
+    rules = spark.createDataFrame(_KWT_RULES, "term string, tag string")
+    tok = (
+        _docs(spark, sf_dir)
+        .filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("term")
+        )
+    )
+    return (
+        tok.join(F.broadcast(rules), "term")
+        .groupBy("doc_id", "tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("term").alias("n_terms"),
+            (F.count(F.lit(1)) >= _KWT_FLAG_HITS).alias("flagged"),
+        )
+    )
+
 # ----------------------------------------------------------------- contract
 
 

@@ -276,6 +276,7 @@ def main():
         "pq_residual_report",
         "corpus_zipf_report",
         "eval_holdout_sample",
+        "keyword_tag_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -725,3 +725,32 @@ def test_eval_holdout_replay_and_quota(spark):
     per_stratum = Counter(lang for lang, _rn in got.values())
     for lang, ids in by_lang.items():
         assert per_stratum[lang] == min(entry._EHS_QUOTA, len(ids))
+
+
+def test_keyword_tag_replay(spark):
+    """Pure-Python replay of the dictionary tagger: hits, distinct
+    terms, and the >=3-hit flag, delta-only output."""
+    from collections import defaultdict
+
+    rules = dict(entry._KWT_RULES)
+    want: dict = {}
+    for r in entry._docs(spark, SF_DIR).collect():
+        if not (r.text and r.text.strip()):
+            continue
+        hits: dict = defaultdict(list)
+        for t in r.text.strip().split(" "):
+            if t in rules:
+                hits[rules[t]].append(t)
+        for tag, terms in hits.items():
+            want[(r.doc_id, tag)] = (
+                len(terms),
+                len(set(terms)),
+                len(terms) >= entry._KWT_FLAG_HITS,
+            )
+    got = {
+        (r.doc_id, r.tag): (r.n_hits, r.n_terms, r.flagged)
+        for r in entry.keyword_tag_report(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(f for *_x, f in got.values())
+    assert any(not f for *_x, f in got.values())

@@ -1129,6 +1129,25 @@ def main():
         exact_exchanges=1,
     )
 
+    # keyword_tag_report: the dictionary broadcasts (config artifact), so
+    # the token stream is cut to dictionary matches MAP-SIDE before
+    # anything shuffles — BroadcastHashJoin required; the two exchanges
+    # are the distinct-term grain and the (doc, tag) rollup, BOTH over
+    # dictionary-hit volume (bounded by the dictionary), never raw
+    # token volume; no Python
+    check(
+        "keyword_tag_broadcast_dict_hit_volume_only",
+        allq["keyword_tag_report"](spark, SF_DIR),
+        must=[r"BroadcastHashJoin", r"HashAggregate"],
+        must_not=[
+            r"SortMergeJoin",
+            r"CartesianProduct",
+            r"MapInPandas",
+            r"ArrowEvalPython",
+        ],
+        exact_exchanges=2,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
@@ -1185,7 +1204,11 @@ def main():
             ("F.broadcast(bench)", "benchmark suite — capped at doc_id < 500"),
             ("F.broadcast(probe)", "CMS probe token list — fixed 31 rows"),
             ("F.broadcast(cuts)", "per-lang sampled quantile cutoffs — rows = |langs| x 2"),
-            ("F.broadcast(rules)", "URL blocklist rules — fixed artifact"),
+            (
+                "F.broadcast(rules)",
+                "URL blocklist / keyword-tag dictionaries — fixed config "
+                "artifacts, never corpus-derived (two sites)",
+            ),
             ("F.broadcast(nrow)", "single-row corpus count"),
             ("F.broadcast(q)", "single ANN query vector"),
             ("F.broadcast(qv)", "ann_recall_report eval query vector — 1 row"),
