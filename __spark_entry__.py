@@ -5738,6 +5738,47 @@ def _ngram_score_sql(grams):
     )
 
 
+#: shared trigram-argmax prediction, used verbatim by lang_id_ngram and
+#: langid_confusion_report (drift-proof by construction, the
+#: filter_funnel_report discipline)
+_LANGID_CASE_SQL = (
+    "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en' "
+    "WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de' "
+    "WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr' "
+    "WHEN s_es > 0 THEN 'es' "
+    "ELSE 'und' END"
+)
+
+
+def _langid_scores():
+    def score(grams):
+        out = None
+        for g in grams:
+            c = (
+                F.length("text") - F.length(F.replace(F.col("text"), F.lit(g)))
+            ) / 3
+            out = c if out is None else out + c
+        return out
+
+    return {k: score(v) for k, v in _NGRAM_PROFILES.items()}
+
+
+def _langid_pred_expr(s):
+    return (
+        F.when(
+            (s["en"] >= s["de"])
+            & (s["en"] >= s["fr"])
+            & (s["en"] >= s["es"])
+            & (s["en"] > 0),
+            "en",
+        )
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
+        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
+        .when(s["es"] > 0, "es")
+        .otherwise("und")
+    )
+
+
 @_q(
     "lang_id_ngram",
     f"""
@@ -5766,25 +5807,10 @@ def lang_id_ngram(spark, sf_dir):
     arithmetic, which is bit-identical across engines.  Deterministic
     argmax with en>de>fr>es tie order."""
 
-    def score(grams):
-        out = None
-        for g in grams:
-            c = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(g)))) / 3
-            out = c if out is None else out + c
-        return out
-
-    s = {k: score(v) for k, v in _NGRAM_PROFILES.items()}
+    s = _langid_scores()
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] > 0),
-            "en",
-        )
-        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]) & (s["de"] > 0), "de")
-        .when((s["fr"] >= s["es"]) & (s["fr"] > 0), "fr")
-        .when(s["es"] > 0, "es")
-        .otherwise("und")
-        .alias("lang_guess"),
+        _langid_pred_expr(s).alias("lang_guess"),
         s["en"].cast("long").alias("score_en"),
     )
 
@@ -8527,6 +8553,62 @@ def keyword_tag_report(spark, sf_dir):
             F.countDistinct("term").alias("n_terms"),
             (F.count(F.lit(1)) >= _KWT_FLAG_HITS).alias("flagged"),
         )
+    )
+
+
+
+@_q(
+    "langid_confusion_report",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_ngram_score_sql(_NGRAM_PROFILES["en"])} AS s_en,
+             {_ngram_score_sql(_NGRAM_PROFILES["de"])} AS s_de,
+             {_ngram_score_sql(_NGRAM_PROFILES["fr"])} AS s_fr,
+             {_ngram_score_sql(_NGRAM_PROFILES["es"])} AS s_es
+      FROM documents
+    ),
+    pred AS (SELECT lang, {_LANGID_CASE_SQL} AS lang_guess FROM scored),
+    cell AS (SELECT lang, lang_guess, count(*) AS n FROM pred GROUP BY 1, 2)
+    SELECT lang, lang_guess, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 4)
+             AS row_share,
+           lang = lang_guess AS correct
+    FROM cell
+    """,
+)
+def langid_confusion_report(spark, sf_dir):
+    """Language-ID confusion matrix — the accuracy report every pipeline
+    publishes for its lang-ID tier before trusting per-language sampling
+    rates, CCNet buckets, or mix weights downstream: the trigram
+    detector's prediction (the SAME shared scoring + argmax expressions
+    `lang_id_ngram` serves — drift-proof by construction, the
+    filter_funnel_report discipline) cross-tabulated against the
+    corpus's labeled lang column, with per-true-language recall shares.
+    Misroutes here silently corrupt every per-language decision, which
+    is why the matrix (not just overall accuracy) is the artifact.
+
+    Plan at scale: scoring and argmax are narrow map-side expressions,
+    ONE bounded (|langs| x |guesses|) aggregate, and the share window
+    runs over those few cells — a single corpus-side exchange."""
+    s = _langid_scores()
+    from pyspark.sql import Window
+
+    cell = (
+        _docs(spark, sf_dir)
+        .select("lang", _langid_pred_expr(s).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "lang_guess",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w), 4
+        ).alias("row_share"),
+        (F.col("lang") == F.col("lang_guess")).alias("correct"),
     )
 
 # ----------------------------------------------------------------- contract

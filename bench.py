@@ -277,6 +277,7 @@ def main():
         "corpus_zipf_report",
         "eval_holdout_sample",
         "keyword_tag_report",
+        "langid_confusion_report",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

@@ -754,3 +754,33 @@ def test_keyword_tag_replay(spark):
     assert got == want
     assert any(f for *_x, f in got.values())
     assert any(not f for *_x, f in got.values())
+
+
+def test_langid_confusion_is_exact_crosstab_of_langid(spark):
+    """The confusion matrix must be the exact cross-tabulation of
+    lang_id_ngram's predictions against the labeled lang column — the
+    shared-expression consistency check (no drift possible, verified)."""
+    from collections import Counter
+
+    pred = {
+        r.doc_id: r.lang_guess
+        for r in entry.lang_id_ngram(spark, SF_DIR).collect()
+    }
+    true = {r.doc_id: r.lang for r in entry._docs(spark, SF_DIR).collect()}
+    cells = Counter((true[d], pred[d]) for d in true)
+    got = {
+        (r.lang, r.lang_guess): (r.n, r.row_share, r.correct)
+        for r in entry.langid_confusion_report(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    row_tot = Counter()
+    for (t, _g), n in cells.items():
+        row_tot[t] += n
+    for (t, g), n in cells.items():
+        gn, share, correct = got[(t, g)]
+        assert gn == n
+        assert share == round(n / row_tot[t], 4)
+        assert correct == (t == g)
+    # the matrix has off-diagonal mass on this corpus (the detector is a
+    # heuristic) — the report is informative, not a tautology
+    assert any(t != g for t, g in got)

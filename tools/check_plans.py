@@ -1148,6 +1148,17 @@ def main():
         exact_exchanges=2,
     )
 
+    # langid_confusion_report: scoring/argmax narrow map-side, ONE
+    # bounded (lang x guess) aggregate, share window over those few
+    # cells — a single corpus-side exchange, no joins, no Python
+    check(
+        "langid_confusion_one_bounded_agg",
+        allq["langid_confusion_report"](spark, SF_DIR),
+        must=[r"HashAggregate", r"Window"],
+        must_not=[r"Join", r"MapInPandas", r"ArrowEvalPython"],
+        max_exchanges=2,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
