@@ -278,6 +278,7 @@ def main():
         "eval_holdout_sample",
         "keyword_tag_report",
         "langid_confusion_report",
+        "robots_txt_filter",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

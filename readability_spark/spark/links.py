@@ -145,3 +145,126 @@ def page_seo_meta(pages, url_col="url", html_col="html"):
             yield pd.DataFrame(rows, columns=["url", "canonical", "noindex"])
 
     return cols.mapInPandas(extract, schema=SEO_META_SCHEMA)
+
+
+def robots_rules(robots_txt: str, agent: str = "*"):
+    """Parse a robots.txt body into the (allow, pattern) rule list for
+    ``agent`` per RFC 9309: group selection picks the MOST SPECIFIC
+    matching user-agent line (longest case-insensitive match, falling
+    back to '*'); adjacent user-agent lines share one group; unknown
+    directives are ignored.  Returns a list of (is_allow, pattern)."""
+    groups: dict = {}
+    current: list = []
+    last_was_ua = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            # adjacent user-agent lines open ONE shared group; a later
+            # group for the same agent replaces the earlier one (the
+            # common crawler simplification of RFC 9309's group merge)
+            if not last_was_ua:
+                current = []
+            groups[value.lower()] = current
+            last_was_ua = True
+        elif field in ("allow", "disallow"):
+            last_was_ua = False
+            current.append((field == "allow", value))
+        else:
+            last_was_ua = False
+    agent = agent.lower()
+    best = None
+    for ua in groups:
+        if ua != "*" and ua in agent or ua == agent:
+            if best is None or len(ua) > len(best):
+                best = ua
+    if best is None and "*" in groups:
+        best = "*"
+    return list(groups[best]) if best is not None else []
+
+
+def _robots_pattern_match(pattern: str, path: str):
+    """RFC 9309 path-pattern match: literal prefix with '*' wildcards and
+    an optional '$' end anchor.  Returns the matched-pattern LENGTH for
+    precedence (longest match wins), or None when the pattern does not
+    match.  An empty pattern matches everything at length 0."""
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    parts = pat.split("*")
+    pos = 0
+    for i, part in enumerate(parts):
+        if i == 0:
+            if not path.startswith(part):
+                return None
+            pos = len(part)
+        else:
+            j = path.find(part, pos)
+            if j < 0:
+                return None
+            pos = j + len(part)
+    if anchored and pos != len(path):
+        # trailing '*' before '$' already consumed arbitrary tail above;
+        # otherwise the match must end exactly at the path end
+        if parts[-1] != "" or pos > len(path):
+            return None
+        pos = len(path)
+    return len(pattern)
+
+
+def robots_allowed(rules, path: str) -> bool:
+    """RFC 9309 decision: the rule with the LONGEST matching pattern
+    wins; on a tie between allow and disallow, allow wins; no matching
+    rule (or no rules at all) means allowed."""
+    best_len = -1
+    best_allow = True
+    for is_allow, pattern in rules:
+        if pattern == "":
+            continue  # empty Disallow: allows everything (no-op rule)
+        m = _robots_pattern_match(pattern, path)
+        if m is None:
+            continue
+        if m > best_len or (m == best_len and is_allow and not best_allow):
+            best_len = m
+            best_allow = is_allow
+    return best_allow
+
+
+ROBOTS_SCHEMA = "url string, crawl_allowed boolean, matched_agent string"
+
+
+def robots_filter(pages, robots_col="robots_txt", agent="graftbot", url_col="url"):
+    """pages(url, robots_txt, ...) -> (url, crawl_allowed, matched_agent):
+    evaluate each page URL against ITS host's robots.txt under RFC 9309
+    (most-specific user-agent group, longest-match precedence, allow
+    wins ties, wildcards + '$' anchors) in one vectorized mapInPandas
+    pass — the crawl-politeness gate a fetch frontier applies before a
+    URL is ever requested.  In production the per-host robots bodies are
+    a small dim joined on host; here they ride as a column."""
+    from urllib.parse import urlsplit
+
+    cols = pages.select(url_col, robots_col)
+
+    def decide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            cache: dict = {}
+            for url, body in zip(pdf[url_col], pdf[robots_col]):
+                body = body or ""
+                rules = cache.get(body)
+                if rules is None:
+                    rules = robots_rules(body, agent)
+                    cache[body] = rules
+                sp = urlsplit(url)
+                path = sp.path or "/"
+                if sp.query:
+                    path = f"{path}?{sp.query}"
+                rows.append((url, robots_allowed(rules, path), agent))
+            yield pd.DataFrame(
+                rows, columns=["url", "crawl_allowed", "matched_agent"]
+            )
+
+    return cols.mapInPandas(decide, schema=ROBOTS_SCHEMA)

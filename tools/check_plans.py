@@ -1159,6 +1159,16 @@ def main():
         max_exchanges=2,
     )
 
+    # robots_txt_filter: a frontier filters in place — one vectorized
+    # decision pass, ZERO exchanges, no joins
+    check(
+        "robots_filter_map_only",
+        allq["robots_txt_filter"](spark, SF_DIR),
+        must=[r"MapInPandas"],
+        must_not=[r"Join", r"HashAggregate", r"Window", r"Sort\b"],
+        exact_exchanges=0,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
