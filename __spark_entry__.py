@@ -5388,10 +5388,10 @@ def semdedup_embeddings(spark, sf_dir):
     return textops.semdedup(emb, centroids, threshold=0.4)
 
 
-@_q(
-    "pagerank_links",
-    """
-    WITH n AS (SELECT count(*) AS n FROM documents),
+#: the unrolled 3-iteration PageRank CTE chain (n, t, e, r0..r3),
+#: shared by the pagerank_links and crawl_frontier_plan oracles
+_PAGERANK_CTES = """
+    n AS (SELECT count(*) AS n FROM documents),
     t AS (
       SELECT doc_id,
              list_filter(list_distinct([
@@ -5414,6 +5414,13 @@ def semdedup_embeddings(spark, sf_dir):
            JOIN r2 r ON r.doc_id = e.src GROUP BY dst),
     r3 AS (SELECT d.doc_id, 0.15 / n.n + 0.85 * coalesce(c3.c, 0) AS rank
            FROM documents d CROSS JOIN n LEFT JOIN c3 ON c3.dst = d.doc_id)
+"""
+
+
+@_q(
+    "pagerank_links",
+    f"""
+    WITH {_PAGERANK_CTES}
     SELECT r3.doc_id, round(r3.rank * n.n, 4) AS rank_norm
     FROM r3 CROSS JOIN n
     """,
@@ -5433,6 +5440,16 @@ def pagerank_links(spark, sf_dir):
     left join back onto the node list — the textbook distributed
     PageRank loop, k exchanges for k iterations, nothing quadratic.
     The 1-row count frame broadcasts."""
+    r = _pagerank_ranks(spark, sf_dir)
+    return r.select(
+        "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("rank_norm")
+    )
+
+
+def _pagerank_ranks(spark, sf_dir, iters=3):
+    """(doc_id, n, rank) after ``iters`` power iterations — the shared
+    loop behind pagerank_links and crawl_frontier_plan (mirrors the
+    shared _PAGERANK_CTES oracle chain)."""
     docs = _docs(spark, sf_dir).select("doc_id")
     nrow = docs.agg(F.count(F.lit(1)).alias("n"))
     base = docs.crossJoin(F.broadcast(nrow))
@@ -5452,7 +5469,7 @@ def pagerank_links(spark, sf_dir):
         F.explode(tgts).alias("dst"),
     )
     r = base.select("doc_id", "n", (F.lit(1.0) / F.col("n")).alias("rank"))
-    for _ in range(3):
+    for _ in range(iters):
         contrib = (
             edges.join(
                 r.select(F.col("doc_id").alias("src"), F.col("rank").alias("r_src")),
@@ -5472,9 +5489,7 @@ def pagerank_links(spark, sf_dir):
                 ).alias("rank"),
             )
         )
-    return r.select(
-        "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("rank_norm")
-    )
+    return r
 
 
 @_q(
@@ -8690,6 +8705,111 @@ def robots_txt_filter(spark, sf_dir):
         url.alias("url"), robots.alias("robots_txt")
     )
     return robots_filter(pages, agent="graftbot")
+
+
+
+#: per-host fetch budget for the frontier plan (politeness: a crawler
+#: schedules at most this many URLs per host per cycle)
+_CFP_HOST_BUDGET = 3
+
+
+@_q(
+    "crawl_frontier_plan",
+    f"""
+    WITH {_PAGERANK_CTES},
+    base AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 10 < 4 THEN 'hot' ELSE source END)
+               || '.example.com' AS host,
+             {_SQL_URL} AS url,
+             CASE WHEN doc_id % 10 < 4 THEN TRUE ELSE doc_id < 100 END
+               AS crawl_allowed
+      FROM documents
+    ),
+    gated AS (
+      SELECT b.host, b.doc_id, b.url,
+             round(r3.rank * n.n, 4) AS priority
+      FROM base b JOIN r3 ON r3.doc_id = b.doc_id CROSS JOIN n
+      WHERE b.crawl_allowed
+    )
+    SELECT host, doc_id, url, priority, CAST(slot AS INT) AS slot
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY host ORDER BY priority DESC, doc_id ASC) AS slot
+      FROM gated
+    ) WHERE slot <= {_CFP_HOST_BUDGET}
+    """,
+)
+def crawl_frontier_plan(spark, sf_dir):
+    """Crawl-frontier scheduling — the capstone composition where three
+    of the engine's artifacts meet in the crawler's ACTUAL per-cycle
+    decision: which URLs to fetch next = robots.txt-permitted pages
+    (the RFC 9309 gate, `robots_txt_filter`'s matcher with the same
+    synthesized per-domain bodies), ranked by link centrality (the
+    `pagerank_links` power iteration, shared CTE chain in the oracle),
+    capped at {_CFP_HOST_BUDGET} URLs per host per cycle (politeness
+    budget — the reason frontiers are host-keyed).  Output: (host,
+    doc_id, url, priority, slot), slot 1..{_CFP_HOST_BUDGET} per host.
+
+    Plan at scale: the robots gate is the zero-shuffle vectorized pass
+    (doc_id rides through `robots_filter(keep_cols=...)`, no join back);
+    PageRank contributes its k iteration exchanges; the gate joins the
+    rank frame on doc_id (both sides corpus-keyed equi-join — AQE
+    decides the strategy); the budget is one per-host window whose
+    partition key is EXACTLY the partitioning a fetch scheduler wants
+    downstream.  Ranking keys are the 4dp-rounded rank with a doc_id
+    tiebreak (the ann_pq discipline)."""
+    from pyspark.sql import Window
+
+    from readability_spark.spark.links import robots_filter
+
+    hot = F.col("doc_id") % 10 < 4
+    host = F.concat(
+        F.when(hot, F.lit("hot")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/articles/doc-"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0"),
+        F.lit(".html"),
+    )
+    robots = (
+        F.when(hot, F.lit(_ROBOTS_T0))
+        .when(
+            F.substring("source", 4, 10).cast("int") % 2 == 0,
+            F.lit(_ROBOTS_T1),
+        )
+        .otherwise(F.lit(_ROBOTS_T2))
+    )
+    pages = _docs(spark, sf_dir).select(
+        url.alias("url"),
+        robots.alias("robots_txt"),
+        "doc_id",
+        host.alias("host"),
+    )
+    gated = robots_filter(
+        pages, agent="graftbot", keep_cols=(("doc_id", "bigint"), ("host", "string"))
+    ).filter(F.col("crawl_allowed"))
+    ranks = _pagerank_ranks(spark, sf_dir).select(
+        "doc_id", F.round(F.col("rank") * F.col("n"), 4).alias("priority")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("doc_id").asc()
+    )
+    return (
+        gated.join(ranks, "doc_id")
+        .select(
+            "host",
+            "doc_id",
+            "url",
+            "priority",
+            F.row_number().over(w).alias("slot"),
+        )
+        .filter(F.col("slot") <= _CFP_HOST_BUDGET)
+        .select("host", "doc_id", "url", "priority", F.col("slot").cast("int").alias("slot"))
+    )
 
 # ----------------------------------------------------------------- contract
 

@@ -279,6 +279,7 @@ def main():
         "keyword_tag_report",
         "langid_confusion_report",
         "robots_txt_filter",
+        "crawl_frontier_plan",
     ]
     allq = entrymod.queries()
     extraction_rep = make_extraction_rep(spark, sf_dir, factor)

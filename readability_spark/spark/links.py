@@ -236,23 +236,30 @@ def robots_allowed(rules, path: str) -> bool:
 ROBOTS_SCHEMA = "url string, crawl_allowed boolean, matched_agent string"
 
 
-def robots_filter(pages, robots_col="robots_txt", agent="graftbot", url_col="url"):
+def robots_filter(
+    pages, robots_col="robots_txt", agent="graftbot", url_col="url", keep_cols=()
+):
     """pages(url, robots_txt, ...) -> (url, crawl_allowed, matched_agent):
     evaluate each page URL against ITS host's robots.txt under RFC 9309
     (most-specific user-agent group, longest-match precedence, allow
     wins ties, wildcards + '$' anchors) in one vectorized mapInPandas
     pass — the crawl-politeness gate a fetch frontier applies before a
     URL is ever requested.  In production the per-host robots bodies are
-    a small dim joined on host; here they ride as a column."""
+    a small dim joined on host; here they ride as a column.  ``keep_cols``
+    names (name, spark_type) pairs of input columns to pass through
+    unchanged, saving callers a corpus-sized join back onto the url."""
     from urllib.parse import urlsplit
 
-    cols = pages.select(url_col, robots_col)
+    keep_names = [c[0] for c in keep_cols]
+    cols = pages.select(url_col, robots_col, *keep_names)
+    schema = ROBOTS_SCHEMA + "".join(f", {n} {t}" for n, t in keep_cols)
 
     def decide(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             cache: dict = {}
-            for url, body in zip(pdf[url_col], pdf[robots_col]):
+            kept = [pdf[n] for n in keep_names]
+            for i, (url, body) in enumerate(zip(pdf[url_col], pdf[robots_col])):
                 body = body or ""
                 rules = cache.get(body)
                 if rules is None:
@@ -262,9 +269,13 @@ def robots_filter(pages, robots_col="robots_txt", agent="graftbot", url_col="url
                 path = sp.path or "/"
                 if sp.query:
                     path = f"{path}?{sp.query}"
-                rows.append((url, robots_allowed(rules, path), agent))
+                rows.append(
+                    (url, robots_allowed(rules, path), agent)
+                    + tuple(k.iloc[i] for k in kept)
+                )
             yield pd.DataFrame(
-                rows, columns=["url", "crawl_allowed", "matched_agent"]
+                rows,
+                columns=["url", "crawl_allowed", "matched_agent", *keep_names],
             )
 
-    return cols.mapInPandas(decide, schema=ROBOTS_SCHEMA)
+    return cols.mapInPandas(decide, schema=schema)

@@ -123,3 +123,37 @@ def test_robots_filter_replay(spark):
     assert got == want
     # both verdicts occur — the gate is informative
     assert any(got.values()) and not all(got.values())
+
+
+def test_frontier_plan_composition(spark):
+    """The frontier must be the exact composition of its three inputs:
+    robots verdicts (template closed form), pagerank_links' own served
+    priorities, and the per-host top-3 budget."""
+    ranks = {
+        r.doc_id: r.rank_norm
+        for r in entry.pagerank_links(spark, SF_DIR).collect()
+    }
+    docs = [(r.doc_id, r.source) for r in entry._docs(spark, SF_DIR).collect()]
+    cands: dict = {}
+    for doc_id, source in docs:
+        hot = doc_id % 10 < 4
+        if not (hot or doc_id < 100):
+            continue  # robots-disallowed
+        host = ("hot" if hot else source) + ".example.com"
+        cands.setdefault(host, []).append(doc_id)
+    want = {}
+    for host, ids in cands.items():
+        ranked = sorted(ids, key=lambda d: (-ranks[d], d))
+        for slot, d in enumerate(ranked[: entry._CFP_HOST_BUDGET], 1):
+            want[d] = (host, ranks[d], slot)
+    got = {
+        r.doc_id: (r.host, r.priority, r.slot)
+        for r in entry.crawl_frontier_plan(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # every host is budget-capped and at least one host hit the cap
+    from collections import Counter
+
+    per_host = Counter(h for h, _p, _s in got.values())
+    assert max(per_host.values()) == entry._CFP_HOST_BUDGET
+    assert all(n <= entry._CFP_HOST_BUDGET for n in per_host.values())

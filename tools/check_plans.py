@@ -1169,6 +1169,23 @@ def main():
         exact_exchanges=0,
     )
 
+    # crawl_frontier_plan: the robots gate stays the zero-shuffle
+    # vectorized pass (doc_id/host ride through keep_cols — no join back
+    # onto the url), PageRank contributes its iteration exchanges (the
+    # 1-row count crossJoin is the intended BroadcastNestedLoopJoin —
+    # pagerank's own gate), the rank join is a doc_id equi-join (nothing
+    # cartesian), the politeness budget is ONE host-keyed window; the
+    # exchange budget is PageRank's k-iteration chain + the gate join +
+    # the window — bounded, never quadratic
+    check(
+        "frontier_plan_composition",
+        allq["crawl_frontier_plan"](spark, SF_DIR),
+        must=[r"MapInPandas", r"Window"],
+        must_not=[r"CartesianProduct"],
+        max_exchanges=14,
+        materialize=True,
+    )
+
     # image_ahash_neardup: same contract as the text SimHash gate — the
     # decode+hash is narrow (no Python), candidates come from ONE
     # equi-join on the (block, value) key, nothing all-pairs/cartesian,
